@@ -1,0 +1,22 @@
+from sigdigger_tpu.sources.base import SignalSource
+from sigdigger_tpu.sources.file import FileSource, convert_raw
+from sigdigger_tpu.sources.registry import (
+    guess_metadata,
+    make_source,
+    register_source,
+    source_types,
+)
+from sigdigger_tpu.sources.stdin_src import StdinSource
+from sigdigger_tpu.sources.tonegen import ToneGenSource
+
+__all__ = [
+    "SignalSource",
+    "FileSource",
+    "StdinSource",
+    "ToneGenSource",
+    "convert_raw",
+    "guess_metadata",
+    "make_source",
+    "register_source",
+    "source_types",
+]
