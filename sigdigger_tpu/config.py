@@ -141,7 +141,7 @@ GAIN_CONTROL_SCHEMA = ConfigSchema([
 AFC_SCHEMA = ConfigSchema([
     # AfcControl.cpp: carrier recovery (Costas order = 2^bits-per-symbol)
     ConfigField("afc.bits-per-symbol", int, 1, "costas order = 1<<bps"),
-    ConfigField("afc.costas-order", int, 2, "explicit costas order"),
+    ConfigField("afc.costas-order", int, 0, "explicit costas order (0=auto)"),
     ConfigField("afc.loop-bw", float, 0.01, "loop bandwidth, fraction of rate"),
     ConfigField("afc.offset", float, 0.0, "manual carrier offset (Hz)"),
 ])

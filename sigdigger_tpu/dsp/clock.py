@@ -40,7 +40,7 @@ def _gardner_scan(x, state, gain_p, gain_f, period_min, period_max):
     """
 
     def step(carry, xt):
-        t, period, prev, mid, strobe_prev, want_mid = carry
+        t, period, prev, mid, strobe_prev, want_mid, power = carry
         t = t - 1.0
         event = t <= 0.0
         frac = jnp.clip(t + 1.0, 0.0, 1.0)
@@ -49,10 +49,13 @@ def _gardner_scan(x, state, gain_p, gain_f, period_min, period_max):
         is_mid = jnp.logical_and(event, want_mid)
         is_strobe = jnp.logical_and(event, jnp.logical_not(want_mid))
 
+        # amplitude-invariant loop gain: normalize the TED by signal power
+        power = power + 0.01 * (jnp.abs(xt) ** 2 - power)
         new_mid = jnp.where(is_mid, interp, mid)
         # Gardner TED: err > 0 ⇔ sampling late → advance the clock
         err = jnp.real((interp - strobe_prev) * jnp.conj(new_mid))
-        err = jnp.where(is_strobe, err, 0.0)
+        err = jnp.where(is_strobe, err, 0.0) / jnp.maximum(power, 1e-9)
+        err = jnp.clip(err, -2.0, 2.0)
 
         period = jnp.clip(period - gain_f * err, period_min, period_max)
         t = t + jnp.where(event, period * 0.5 - gain_p * err, 0.0)
@@ -60,7 +63,8 @@ def _gardner_scan(x, state, gain_p, gain_f, period_min, period_max):
         strobe_prev = jnp.where(is_strobe, interp, strobe_prev)
         want_mid = jnp.logical_xor(want_mid, event)
         out = jnp.where(is_strobe, interp, jnp.zeros_like(interp))
-        return (t, period, xt, new_mid, strobe_prev, want_mid), (out, is_strobe)
+        return (t, period, xt, new_mid, strobe_prev, want_mid, power), \
+            (out, is_strobe)
 
     state, (sym, strobe) = jax.lax.scan(step, state, jnp.transpose(x))
     return state, jnp.transpose(sym), jnp.transpose(strobe)
@@ -92,6 +96,7 @@ class GardnerClock:
             jnp.zeros(c, jnp.complex64),              # midpoint
             jnp.zeros(c, jnp.complex64),              # previous strobe
             jnp.ones(c, bool),                        # next event is midpoint
+            jnp.ones(c, jnp.float32),                 # power follower
         )
 
     def __call__(self, x) -> tuple[jax.Array, jax.Array]:
@@ -120,6 +125,7 @@ class GardnerClock:
             jnp.zeros(c, jnp.complex64),
             jnp.zeros(c, jnp.complex64),
             jnp.ones(c, bool),
+            jnp.ones(c, jnp.float32),
         )
 
 
