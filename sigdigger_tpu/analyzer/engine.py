@@ -1,0 +1,469 @@
+"""The analyzer engine — channel-mode session over a signal source.
+
+TPU re-design of the suscan analyzer (reference Suscan/Analyzer.cpp:
+111-623): instead of a C source thread + worker threads + message queue,
+the engine is a *block-synchronous pipeline*: each `step()` pulls one
+fixed-size IQ block from the source and runs the jitted device program —
+windowed PSD fold, the shared big FFT, all channelizer buckets, and
+every inspector chain — then emits typed messages.  `start()` wraps the
+same step loop in a pump thread for live use, preserving the reference's
+async message-queue API (`read()` ≙ suscan_analyzer_read).
+
+Inspector lifecycle follows the async request protocol (reference
+Suscan/Analyzer.cpp:411-598 + AnalyzerRequestTracker semantics): opens
+and config changes are acknowledged with InspectorMessages carrying the
+request id.
+"""
+
+from __future__ import annotations
+
+import enum
+import queue
+import threading
+import time
+from dataclasses import dataclass
+from typing import Any
+
+import numpy as np
+
+from sigdigger_tpu.analyzer.detector import ChannelDetector
+from sigdigger_tpu.analyzer.messages import (
+    ChannelMessage,
+    InspectorMessage,
+    InspectorMessageKind,
+    Message,
+    MessageKind,
+    PSDMessage,
+    SamplesMessage,
+    SourceInfoMessage,
+    StatusMessage,
+)
+from sigdigger_tpu.config import INSPECTOR_SCHEMAS, Config
+from sigdigger_tpu.dsp.channelizer import Channelizer
+from sigdigger_tpu.dsp.spectrum import SpectrumEstimator
+from sigdigger_tpu.inspectors import Inspector, make_inspector
+from sigdigger_tpu.profiles import SourceProfile
+from sigdigger_tpu.sources import SignalSource, make_source
+from sigdigger_tpu.types import AnalyzerParams, Channel, SourceInfo, next_pow2
+
+
+class AnalyzerState(enum.Enum):
+    """reference include/UIMediator.h:55-61 capture state machine."""
+
+    HALTED = "halted"
+    RUNNING = "running"
+    HALTING = "halting"
+
+
+@dataclass
+class _InspectorSlot:
+    handle: int
+    inspector_id: int
+    class_name: str
+    inspector: Inspector
+    chan_handle: int            # channelizer handle
+    equiv_rate: float
+    bandwidth: float
+    lo: float
+    estimators: set[str]
+    spectrum_source: int = 0    # 0=none, 1=input spectrum
+
+
+class Analyzer:
+    """Channel-mode analyzer session.
+
+    Synchronous core: ``step()`` processes one block and enqueues
+    messages.  Live mode: ``start()``/``halt()`` run the pump thread,
+    messages drained with ``read(timeout)``.
+    """
+
+    DEFAULT_FRAMES_PER_BLOCK = 8
+
+    def __init__(
+        self,
+        profile: SourceProfile | None = None,
+        params: AnalyzerParams | None = None,
+        source: SignalSource | None = None,
+        block_size: int | None = None,
+    ) -> None:
+        if source is None:
+            if profile is None:
+                raise ValueError("need a profile or a source")
+            source = make_source(profile)
+        self.source = source
+        self.profile = source.profile
+        self.params = params or AnalyzerParams()
+
+        rate = self.source.sample_rate
+        w = next_pow2(self.params.window_size)
+        self.params.window_size = w
+        self.block_size = block_size or w * self.DEFAULT_FRAMES_PER_BLOCK
+        if self.block_size % w:
+            raise ValueError(
+                f"block_size {self.block_size} not a multiple of window {w}"
+            )
+
+        self._spectrum = SpectrumEstimator(
+            w, rate, self.params.window_function,
+            self.params.spectrum_avg_alpha,
+        )
+        self._channelizer = Channelizer(rate, fft_size=w)
+        self._detector = ChannelDetector(self.params, rate, w)
+
+        self._mq: queue.Queue[Message] = queue.Queue()
+        self._inspectors: dict[int, _InspectorSlot] = {}
+        self._by_id: dict[int, int] = {}       # inspector_id → handle
+        self._next_handle = 1
+        self._state = AnalyzerState.HALTED
+        self._thread: threading.Thread | None = None
+        self._stop = threading.Event()
+        self._lock = threading.RLock()
+
+        self._last_psd_emit = 0.0
+        self._last_chan_emit = 0.0
+        self._blocks = 0
+        self._samples_done = 0
+        self._t_start = None
+        self._measured_rate = 0.0
+
+        self.emit_source_info()
+
+    # ------------------------------------------------------------------
+    # message queue
+    # ------------------------------------------------------------------
+    def read(self, timeout: float | None = None) -> Message | None:
+        """Blocking message read (≙ suscan_analyzer_read)."""
+        try:
+            return self._mq.get(timeout=timeout)
+        except queue.Empty:
+            return None
+
+    def poll(self) -> list[Message]:
+        """Drain all queued messages without blocking."""
+        out = []
+        while True:
+            try:
+                out.append(self._mq.get_nowait())
+            except queue.Empty:
+                return out
+
+    def _emit(self, msg: Message) -> None:
+        self._mq.put(msg)
+
+    # ------------------------------------------------------------------
+    # source control (sync setters, reference Suscan/Analyzer.cpp:117-273)
+    # ------------------------------------------------------------------
+    @property
+    def sample_rate(self) -> float:
+        return self.source.sample_rate
+
+    @property
+    def state(self) -> AnalyzerState:
+        return self._state
+
+    def set_frequency(self, freq: float, lnb: float = 0.0) -> None:
+        self.profile.freq = float(freq)
+        self.profile.lnb_freq = float(lnb)
+        self.emit_source_info()
+
+    def set_throttle(self, enabled: bool) -> None:
+        self.profile.throttle = bool(enabled)
+
+    def seek(self, position: int) -> None:
+        if not self.source.seekable:
+            self._emit(StatusMessage(code=-1, message="source not seekable"))
+            return
+        with self._lock:
+            self.source.seek(position)
+
+    def set_loop(self, enabled: bool) -> None:
+        self.profile.loop = bool(enabled)
+
+    def emit_source_info(self) -> None:
+        info = SourceInfo(
+            sample_rate=self.source.sample_rate,
+            measured_sample_rate=self._measured_rate or
+            self.source.sample_rate,
+            frequency=self.profile.freq,
+            lnb_frequency=self.profile.lnb_freq,
+            bandwidth=self.profile.bandwidth or self.source.sample_rate,
+            ppm=self.profile.ppm,
+            antenna=self.profile.antenna,
+            dc_remove=self.profile.dc_remove,
+            iq_reverse=self.profile.iq_reverse,
+            seekable=self.source.seekable,
+            has_time=self.profile.start_time > 0,
+            gains=dict(self.profile.gains),
+        )
+        self._emit(SourceInfoMessage(info=info))
+
+    # ------------------------------------------------------------------
+    # inspector API (async protocol, reference Suscan/Analyzer.cpp:411-598)
+    # ------------------------------------------------------------------
+    def open_inspector(self, class_name: str, channel: Channel,
+                       request_id: int = 0,
+                       config: dict[str, Any] | None = None) -> int:
+        """Open a demod chain on ``channel``; returns the handle
+        immediately and acknowledges with an OPEN InspectorMessage
+        carrying ``request_id`` (reference open_ex_async semantics)."""
+        if class_name not in INSPECTOR_SCHEMAS:
+            self._emit(InspectorMessage(
+                inspector_kind=InspectorMessageKind.WRONG_KIND,
+                request_id=request_id, class_name=class_name))
+            raise ValueError(f"unknown inspector class {class_name!r}")
+        with self._lock:
+            bw = channel.bw or (channel.f_high - channel.f_low)
+            bw = max(bw, self.sample_rate / self.params.window_size * 8)
+            # audio channels are capped like the reference's
+            # min(fs/2, 200 kHz) rule (Default/Audio/AudioProcessor.cpp:117)
+            if class_name == "audio":
+                bw = min(bw, self.sample_rate / 2.0, 200e3)
+            ch = self._channelizer.open(channel.fc, bw)
+            equiv_rate = self._channelizer.output_rate(ch)
+            insp = make_inspector(class_name, equiv_rate, channels=1)
+            if config:
+                insp.set_config(config)
+            handle = self._next_handle
+            self._next_handle += 1
+            slot = _InspectorSlot(
+                handle=handle, inspector_id=handle,
+                class_name=class_name, inspector=insp, chan_handle=ch,
+                equiv_rate=equiv_rate, bandwidth=bw, lo=channel.fc,
+                estimators=set(),
+            )
+            self._inspectors[handle] = slot
+            self._by_id[handle] = handle
+        self._emit(InspectorMessage(
+            inspector_kind=InspectorMessageKind.OPEN,
+            request_id=request_id, handle=handle, inspector_id=handle,
+            class_name=class_name, config=insp.config.copy(),
+            equiv_rate=equiv_rate, bandwidth=bw, lo=channel.fc,
+        ))
+        return handle
+
+    def _slot(self, handle: int, request_id: int = 0) -> _InspectorSlot | None:
+        slot = self._inspectors.get(handle)
+        if slot is None:
+            self._emit(InspectorMessage(
+                inspector_kind=InspectorMessageKind.WRONG_HANDLE,
+                request_id=request_id, handle=handle))
+        return slot
+
+    def set_inspector_config(self, handle: int, config: dict[str, Any],
+                             request_id: int = 0) -> None:
+        slot = self._slot(handle, request_id)
+        if slot is None:
+            return
+        with self._lock:
+            slot.inspector.set_config(config)
+        self._emit(InspectorMessage(
+            inspector_kind=InspectorMessageKind.SET_CONFIG,
+            request_id=request_id, handle=handle,
+            inspector_id=slot.inspector_id, class_name=slot.class_name,
+            config=slot.inspector.config.copy(),
+        ))
+
+    def set_inspector_id(self, handle: int, inspector_id: int,
+                         request_id: int = 0) -> None:
+        slot = self._slot(handle, request_id)
+        if slot is None:
+            return
+        with self._lock:
+            self._by_id.pop(slot.inspector_id, None)
+            slot.inspector_id = inspector_id
+            self._by_id[inspector_id] = handle
+        self._emit(InspectorMessage(
+            inspector_kind=InspectorMessageKind.SET_ID,
+            request_id=request_id, handle=handle, inspector_id=inspector_id,
+        ))
+
+    def set_inspector_freq(self, handle: int, freq: float,
+                           request_id: int = 0) -> None:
+        slot = self._slot(handle, request_id)
+        if slot is None:
+            return
+        with self._lock:
+            self._channelizer.set_frequency(slot.chan_handle, freq)
+            slot.lo = freq
+        self._emit(InspectorMessage(
+            inspector_kind=InspectorMessageKind.SET_FREQ,
+            request_id=request_id, handle=handle, lo=freq,
+        ))
+
+    def set_inspector_bandwidth(self, handle: int, bw: float,
+                                request_id: int = 0) -> None:
+        slot = self._slot(handle, request_id)
+        if slot is None:
+            return
+        with self._lock:
+            self._channelizer.set_bandwidth(slot.chan_handle, bw)
+            slot.bandwidth = bw
+        self._emit(InspectorMessage(
+            inspector_kind=InspectorMessageKind.SET_BANDWIDTH,
+            request_id=request_id, handle=handle, bandwidth=bw,
+        ))
+
+    def set_estimator(self, handle: int, estimator_id: str, enabled: bool,
+                      request_id: int = 0) -> None:
+        """Toggle an in-channel estimator (reference
+        Suscan/Analyzer.cpp:551-565; ids 'baud', 'offset')."""
+        slot = self._slot(handle, request_id)
+        if slot is None:
+            return
+        with self._lock:
+            if enabled:
+                slot.estimators.add(estimator_id)
+            else:
+                slot.estimators.discard(estimator_id)
+
+    def set_spectrum_source(self, handle: int, source_id: int,
+                            request_id: int = 0) -> None:
+        """Select the per-inspector secondary spectrum (reference
+        Suscan/Analyzer.cpp:539-549; 0=off, 1=channel input)."""
+        slot = self._slot(handle, request_id)
+        if slot is None:
+            return
+        slot.spectrum_source = int(source_id)
+
+    def close_inspector(self, handle: int, request_id: int = 0) -> None:
+        slot = self._slot(handle, request_id)
+        if slot is None:
+            return
+        with self._lock:
+            self._channelizer.close(slot.chan_handle)
+            self._by_id.pop(slot.inspector_id, None)
+            del self._inspectors[handle]
+        self._emit(InspectorMessage(
+            inspector_kind=InspectorMessageKind.CLOSE,
+            request_id=request_id, handle=handle,
+            inspector_id=slot.inspector_id,
+        ))
+
+    # ------------------------------------------------------------------
+    # pipeline
+    # ------------------------------------------------------------------
+    def step(self) -> bool:
+        """Process one block; returns False when the source is done."""
+        with self._lock:
+            if self.source.eos:
+                self._emit(Message(kind=MessageKind.EOS))
+                return False
+            try:
+                x = self.source.read(self.block_size)
+            except Exception as e:  # noqa: BLE001 — maps to READ_ERROR
+                self._emit(StatusMessage(code=-2, message=str(e)))
+                self._emit(Message(kind=MessageKind.READ_ERROR))
+                return False
+            looped = self.source.looped
+
+            if self._t_start is None:
+                self._t_start = time.monotonic()
+            psd = self._spectrum.feed(x)
+            outputs = self._channelizer.feed(x)
+
+            sample_msgs = []
+            for slot in self._inspectors.values():
+                y = outputs.get(slot.chan_handle)
+                if y is None:
+                    continue
+                result = slot.inspector.process(y[None, :])
+                samples = np.asarray(result.pop("samples"))[0]
+                extras = {k: np.asarray(v)[0] for k, v in result.items()}
+                sample_msgs.append((slot, samples, extras, np.asarray(y)))
+
+        # emit outside the lock
+        self._blocks += 1
+        self._samples_done += self.block_size
+        elapsed = time.monotonic() - self._t_start
+        if elapsed > 0:
+            self._measured_rate = self._samples_done / elapsed
+
+        now = time.time()
+        stream_t = self._samples_done / self.sample_rate
+        if (stream_t - self._last_psd_emit >= self.params.psd_update_interval
+                or self._blocks == 1):
+            self._last_psd_emit = stream_t
+            shifted = self._spectrum.shifted()
+            self._detector.feed(shifted)
+            self._emit(PSDMessage(
+                fft_size=self.params.window_size,
+                sample_rate=self.sample_rate,
+                measured_sample_rate=self._measured_rate,
+                frequency=self.profile.freq,
+                looped=looped, data=shifted, timestamp=now,
+            ))
+        if stream_t - self._last_chan_emit >= \
+                self.params.channel_update_interval:
+            self._last_chan_emit = stream_t
+            channels = self._detector.detect(self.profile.freq)
+            if channels:
+                self._emit(ChannelMessage(channels=channels))
+
+        for slot, samples, extras, raw in sample_msgs:
+            self._emit(SamplesMessage(
+                inspector_id=slot.inspector_id, handle=slot.handle,
+                samples=samples, extras=extras, timestamp=now,
+            ))
+            if slot.estimators:
+                self._emit_estimators(slot, raw)
+            if slot.spectrum_source:
+                self._emit_inspector_spectrum(slot, raw)
+        return True
+
+    def _emit_estimators(self, slot: _InspectorSlot, y: np.ndarray) -> None:
+        from sigdigger_tpu.analyzer.estimators import estimate
+
+        for est_id in sorted(slot.estimators):
+            value = estimate(est_id, y, slot.equiv_rate)
+            if value is not None:
+                self._emit(InspectorMessage(
+                    inspector_kind=InspectorMessageKind.ESTIMATOR,
+                    handle=slot.handle, inspector_id=slot.inspector_id,
+                    estimator_id=est_id, estimator_value=float(value),
+                ))
+
+    def _emit_inspector_spectrum(self, slot: _InspectorSlot,
+                                 y: np.ndarray) -> None:
+        n = min(1024, 1 << int(np.log2(max(len(y), 2))))
+        if n < 64:
+            return
+        frame = y[:n] * np.hanning(n)
+        spec = np.fft.fftshift(np.abs(np.fft.fft(frame)) ** 2).astype(
+            np.float32)
+        self._emit(InspectorMessage(
+            inspector_kind=InspectorMessageKind.SPECTRUM,
+            handle=slot.handle, inspector_id=slot.inspector_id,
+            spectrum_data=spec, spectrum_rate=slot.equiv_rate,
+        ))
+
+    # ------------------------------------------------------------------
+    # pump thread (live mode)
+    # ------------------------------------------------------------------
+    def start(self) -> None:
+        if self._state == AnalyzerState.RUNNING:
+            return
+        self._stop.clear()
+        self._state = AnalyzerState.RUNNING
+        self._thread = threading.Thread(target=self._run, daemon=True,
+                                        name="analyzer-pump")
+        self._thread.start()
+
+    def _run(self) -> None:
+        while not self._stop.is_set():
+            if not self.step():
+                break
+        self._state = AnalyzerState.HALTED
+        self._emit(Message(kind=MessageKind.HALT))
+
+    def halt(self, join_timeout: float = 10.0) -> None:
+        """Ordered teardown (reference HALTING→HALTED flow,
+        App/Application.cpp:461-495)."""
+        self._state = AnalyzerState.HALTING
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=join_timeout)
+            self._thread = None
+        else:
+            self._state = AnalyzerState.HALTED
+            self._emit(Message(kind=MessageKind.HALT))
+        self.source.close()

@@ -1,0 +1,185 @@
+"""Analyzer engine: message stream, inspector lifecycle, detection."""
+
+import numpy as np
+
+from sigdigger_tpu.analyzer import (
+    Analyzer,
+    AnalyzerRequestTracker,
+    InspectorMessageKind,
+    MessageKind,
+)
+from sigdigger_tpu.profiles import SourceProfile
+from sigdigger_tpu.types import AnalyzerParams, Channel, WindowFunction
+
+
+def tone_profile(**kw):
+    base = dict(type="tonegen", sample_rate=1_024_000, tone_freq=100_000.0,
+                noise_db=-60.0)
+    base.update(kw)
+    return SourceProfile(**base)
+
+
+def small_params(**kw):
+    base = dict(window_size=1024, psd_update_interval=0.0,
+                channel_update_interval=0.01,
+                window_function=WindowFunction.BLACKMANN_HARRIS,
+                spectrum_avg_alpha=0.25)
+    base.update(kw)
+    return AnalyzerParams(**base)
+
+
+def drain(an, kinds=None):
+    msgs = an.poll()
+    if kinds is None:
+        return msgs
+    return [m for m in msgs if m.kind in kinds]
+
+
+def test_psd_messages_and_peak():
+    an = Analyzer(profile=tone_profile(), params=small_params())
+    for _ in range(4):
+        assert an.step()
+    psds = drain(an, {MessageKind.PSD})
+    assert psds
+    p = psds[-1]
+    assert p.fft_size == 1024
+    assert p.sample_rate == 1_024_000
+    freqs = np.linspace(-512_000, 512_000, 1024, endpoint=False)
+    assert abs(freqs[np.argmax(p.data)] - 100_000.0) < 1500
+
+
+def test_source_info_message():
+    an = Analyzer(profile=tone_profile(freq=433e6))
+    infos = drain(an, {MessageKind.SOURCE_INFO})
+    assert infos and infos[0].info.frequency == 433e6
+    assert infos[0].info.seekable
+
+
+def test_channel_detection():
+    an = Analyzer(profile=tone_profile(noise_db=-40.0),
+                  params=small_params())
+    for _ in range(30):
+        an.step()
+    chans = drain(an, {MessageKind.CHANNEL})
+    assert chans
+    found = chans[-1].channels
+    assert any(abs(c.fc - 100_000.0) < 5000 for c in found)
+
+
+def test_inspector_open_process_close():
+    an = Analyzer(profile=tone_profile(), params=small_params())
+    h = an.open_inspector("raw", Channel(fc=100_000.0, bw=20_000.0),
+                          request_id=42, config={"agc.enabled": False})
+    opens = [m for m in drain(an, {MessageKind.INSPECTOR})
+             if m.inspector_kind == InspectorMessageKind.OPEN]
+    assert opens and opens[0].request_id == 42
+    assert opens[0].equiv_rate > 0
+    an.step()
+    samps = drain(an, {MessageKind.SAMPLES})
+    assert samps and samps[0].handle == h
+    # tone at channel center → amplitude ~1 after transient
+    y = samps[0].samples
+    assert np.allclose(np.abs(y[64:]), 1.0, atol=0.05)
+    an.close_inspector(h)
+    closes = [m for m in drain(an, {MessageKind.INSPECTOR})
+              if m.inspector_kind == InspectorMessageKind.CLOSE]
+    assert closes
+    an.step()
+    assert not drain(an, {MessageKind.SAMPLES})
+
+
+def test_inspector_config_roundtrip():
+    an = Analyzer(profile=tone_profile(), params=small_params())
+    h = an.open_inspector("psk", Channel(fc=0.0, bw=50_000.0))
+    drain(an)
+    an.set_inspector_config(h, {"afc.bits-per-symbol": 2,
+                                "clock.baud": 2400.0}, request_id=7)
+    acks = [m for m in drain(an, {MessageKind.INSPECTOR})
+            if m.inspector_kind == InspectorMessageKind.SET_CONFIG]
+    assert acks and acks[0].request_id == 7
+    assert acks[0].config["afc.bits-per-symbol"] == 2
+    assert acks[0].config["clock.baud"] == 2400.0
+
+
+def test_inspector_retune_and_bandwidth():
+    an = Analyzer(profile=tone_profile(), params=small_params())
+    h = an.open_inspector("raw", Channel(fc=50_000.0, bw=20_000.0),
+                          config={"agc.enabled": False})
+    drain(an)
+    an.set_inspector_freq(h, 100_000.0)
+    an.set_inspector_bandwidth(h, 10_000.0)
+    kinds = [m.inspector_kind for m in drain(an, {MessageKind.INSPECTOR})]
+    assert InspectorMessageKind.SET_FREQ in kinds
+    assert InspectorMessageKind.SET_BANDWIDTH in kinds
+    an.step()
+    samps = drain(an, {MessageKind.SAMPLES})
+    y = samps[0].samples
+    assert np.allclose(np.abs(y[64:]), 1.0, atol=0.05)
+
+
+def test_wrong_handle():
+    an = Analyzer(profile=tone_profile())
+    an.set_inspector_config(999, {}, request_id=3)
+    msgs = [m for m in drain(an, {MessageKind.INSPECTOR})
+            if m.inspector_kind == InspectorMessageKind.WRONG_HANDLE]
+    assert msgs and msgs[0].request_id == 3
+
+
+def test_estimators_emitted():
+    # OOK-style tone bursts → envelope periodicity at the baud rate
+    an = Analyzer(profile=tone_profile(tone_freq=0.0, noise_db=-60.0),
+                  params=small_params())
+    h = an.open_inspector("raw", Channel(fc=0.0, bw=100_000.0))
+    an.set_estimator(h, "offset", True)
+    drain(an)
+    an.step()
+    ests = [m for m in drain(an, {MessageKind.INSPECTOR})
+            if m.inspector_kind == InspectorMessageKind.ESTIMATOR]
+    assert ests and ests[0].estimator_id == "offset"
+    assert abs(ests[0].estimator_value) < 1000.0  # tone at channel center
+
+
+def test_inspector_spectrum_source():
+    an = Analyzer(profile=tone_profile(), params=small_params())
+    h = an.open_inspector("raw", Channel(fc=100_000.0, bw=50_000.0))
+    an.set_spectrum_source(h, 1)
+    drain(an)
+    an.step()
+    specs = [m for m in drain(an, {MessageKind.INSPECTOR})
+             if m.inspector_kind == InspectorMessageKind.SPECTRUM]
+    assert specs and specs[0].spectrum_data is not None
+
+
+def test_eos_on_file_end(tmp_path):
+    data = np.zeros(8192, np.complex64)
+    path = tmp_path / "short.cf32"
+    data.tofile(path)
+    prof = SourceProfile(type="file", path=str(path), sample_rate=8192)
+    an = Analyzer(profile=prof, params=small_params())
+    steps = 0
+    while an.step() and steps < 10:
+        steps += 1
+    msgs = drain(an)
+    assert any(m.kind == MessageKind.EOS for m in msgs)
+
+
+def test_pump_thread_and_halt():
+    an = Analyzer(profile=tone_profile(), params=small_params())
+    an.start()
+    msg = an.read(timeout=10.0)
+    assert msg is not None
+    an.halt()
+    msgs = [an.read(timeout=1.0) for _ in range(50)]
+    assert any(m is not None and m.kind == MessageKind.HALT for m in msgs)
+
+
+def test_request_tracker():
+    an = Analyzer(profile=tone_profile(), params=small_params())
+    tracker = AnalyzerRequestTracker(an)
+    fut = tracker.request_open("audio", Channel(fc=100_000.0, bw=12_500.0))
+    for m in an.poll():
+        tracker.feed(m)
+    req = fut.result(timeout=1.0)
+    assert req.handle > 0
+    assert req.equiv_rate > 0
+    assert req.config is not None and "audio.demodulator" in req.config.schema
