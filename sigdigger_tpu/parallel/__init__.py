@@ -1,0 +1,7 @@
+from sigdigger_tpu.parallel.sharding import (
+    make_mesh,
+    shard_pipeline,
+    sharded_pipeline_step,
+)
+
+__all__ = ["make_mesh", "shard_pipeline", "sharded_pipeline_step"]

@@ -7,12 +7,15 @@ from sigdigger_tpu.sources.registry import (
     source_types,
 )
 from sigdigger_tpu.sources.stdin_src import StdinSource
+from sigdigger_tpu.sources.synth import Emitter, SynthBandSource
 from sigdigger_tpu.sources.tonegen import ToneGenSource
 
 __all__ = [
     "SignalSource",
     "FileSource",
     "StdinSource",
+    "SynthBandSource",
+    "Emitter",
     "ToneGenSource",
     "convert_raw",
     "guess_metadata",

@@ -17,6 +17,7 @@ from sigdigger_tpu.profiles import SourceProfile
 from sigdigger_tpu.sources.base import SignalSource
 from sigdigger_tpu.sources.file import FileSource
 from sigdigger_tpu.sources.stdin_src import StdinSource
+from sigdigger_tpu.sources.synth import SynthBandSource
 from sigdigger_tpu.sources.tonegen import ToneGenSource
 from sigdigger_tpu.types import SampleFormat
 
@@ -31,6 +32,7 @@ def register_source(type_name: str,
 register_source("file", FileSource)
 register_source("tonegen", ToneGenSource)
 register_source("stdin", StdinSource)
+register_source("synth", SynthBandSource)
 
 
 def source_types() -> list[str]:

@@ -1,0 +1,155 @@
+"""Functional pipeline + sharded execution on the virtual CPU mesh."""
+
+import jax
+import numpy as np
+import pytest
+
+from sigdigger_tpu.parallel import make_mesh, shard_pipeline
+from sigdigger_tpu.pipeline import (
+    PipelineConfig,
+    init_state,
+    jit_pipeline,
+    make_constants,
+)
+
+
+def fm_signal(n, fs, stations, dev=5000.0, fm=800.0, seed=0):
+    t = np.arange(n) / fs
+    x = np.zeros(n, np.complex128)
+    for f0 in stations:
+        msg = np.sin(2 * np.pi * fm * t)
+        x += 0.5 * np.exp(1j * (2 * np.pi * f0 * t +
+                                2 * np.pi * dev * np.cumsum(msg) / fs))
+    return x.astype(np.complex64)
+
+
+def make_cfg(n_channels=4, demod="fm"):
+    return PipelineConfig(
+        sample_rate=1_024_000.0, fft_size=1024, n_channels=n_channels,
+        n_sub=64, demod=demod,
+    )
+
+
+def test_pipeline_fm_multichannel():
+    cfg = make_cfg(4)
+    stations = np.array([100e3, -200e3, 350e3, -450e3])
+    consts = make_constants(cfg, stations, np.full(4, 30e3))
+    state = init_state(cfg)
+    step = jit_pipeline(cfg)
+    x = fm_signal(1 << 16, cfg.sample_rate, stations)
+    audio = []
+    blk = 1 << 14
+    for i in range(0, len(x), blk):
+        state, out = step(consts, state, x[i:i + blk])
+        audio.append(np.asarray(out["audio"]))
+    a = np.concatenate(audio, axis=1)[:, 2000:]
+    # every channel hears the 800 Hz message
+    ch_rate = cfg.channel_rate
+    for c in range(4):
+        spec = np.abs(np.fft.rfft(a[c] * np.hanning(a.shape[1])))
+        f_pk = np.argmax(spec[5:]) + 5
+        assert abs(f_pk * ch_rate / a.shape[1] - 800.0) < 40.0
+    # PSD shows all four stations
+    psd = np.fft.fftshift(np.asarray(out["psd"]))
+    freqs = np.linspace(-cfg.sample_rate / 2, cfg.sample_rate / 2, 1024,
+                        endpoint=False)
+    top = freqs[np.argsort(psd)[-20:]]
+    for f0 in stations:
+        assert np.min(np.abs(top - f0)) < 5000.0
+
+
+def test_pipeline_matches_class_channelizer():
+    """Functional extract must equal the Channelizer class output."""
+    from sigdigger_tpu.dsp.channelizer import Channelizer
+
+    cfg = make_cfg(1, demod="raw")
+    consts = make_constants(cfg, np.array([128_000.0]),
+                            np.array([20_000.0]))
+    state = init_state(cfg)
+    step = jit_pipeline(cfg)
+    rng = np.random.default_rng(0)
+    x = (rng.standard_normal(1 << 15) + 1j * rng.standard_normal(1 << 15)
+         ).astype(np.complex64)
+    state, out = step(consts, state, x)
+    got = np.asarray(out["iq"])[0]
+
+    ch = Channelizer(cfg.sample_rate, fft_size=cfg.fft_size)
+    h = ch.open(128_000.0, bw=20_000.0, n_sub=cfg.n_sub)
+    ref = np.asarray(ch.feed(x)[h])
+    assert np.allclose(got, ref, atol=1e-4)
+
+
+def test_pipeline_psk():
+    from sigdigger_tpu.dsp.filters import fir_apply, rrc_taps
+
+    cfg = PipelineConfig(
+        sample_rate=1_024_000.0, fft_size=1024, n_channels=2, n_sub=64,
+        demod="psk", psk_order=4, sps=4.0, clock_gain=0.08,
+    )
+    # channel rate = 64 kHz; baud = 16k (sps=4)
+    rng = np.random.default_rng(1)
+    nsym = 4000
+    syms = rng.integers(0, 4, nsym)
+    const = np.exp(1j * (2 * np.pi * syms / 4))
+    up = np.zeros(nsym * 4, np.complex64)
+    up[::4] = const
+    taps = rrc_taps(4, span=8, rolloff=0.35)
+    bb = np.array(fir_apply(up, taps))
+    # upconvert to two carrier positions at the full rate (x16)
+    n = len(bb) * 16
+    t = np.arange(n)
+    bb16 = np.repeat(bb, 16)  # crude hold-upsample (ok for test)
+    x = (bb16 * np.exp(2j * np.pi * 100e3 * t / cfg.sample_rate) +
+         bb16 * np.exp(2j * np.pi * (-300e3) * t / cfg.sample_rate)
+         ).astype(np.complex64)
+    consts = make_constants(cfg, np.array([100e3, -300e3]),
+                            np.array([40e3, 40e3]))
+    state = init_state(cfg)
+    step = jit_pipeline(cfg)
+    outs = []
+    blk = 1 << 14
+    for i in range(0, (n // blk) * blk, blk):
+        state, out = step(consts, state, x[i:i + blk])
+        outs.append((np.asarray(out["symbols"]), np.asarray(out["strobes"])))
+    sym = np.concatenate([o[0] for o in outs], axis=1)
+    stb = np.concatenate([o[1] for o in outs], axis=1)
+    for c in range(2):
+        got = sym[c][stb[c]]
+        tail = got[len(got) // 2:]
+        conc = np.abs(np.mean(np.exp(1j * np.angle(tail ** 4))))
+        assert conc > 0.9, conc
+
+
+@pytest.mark.parametrize("n_time,n_ch", [(1, 8), (8, 1), (2, 4), (4, 2)])
+def test_sharded_matches_single_device(n_time, n_ch):
+    assert len(jax.devices()) >= 8, "conftest must provide 8 CPU devices"
+    cfg = make_cfg(8)
+    stations = np.linspace(-400e3, 400e3, 8)
+    consts = make_constants(cfg, stations, np.full(8, 30e3))
+
+    # single-device reference
+    state0 = init_state(cfg)
+    step0 = jit_pipeline(cfg)
+    # every channel carries a station — unmodulated channels would
+    # compare the phase of numerical noise, which is chaotic under fp
+    # reordering
+    x = fm_signal(1 << 15, cfg.sample_rate, stations)
+    s_ref, out_ref = step0(consts, state0, x)
+
+    mesh = make_mesh(n_time=n_time, n_ch=n_ch)
+    step = shard_pipeline(cfg, mesh)(consts, init_state(cfg))
+    s_sh, out_sh = step(consts, init_state(cfg), x)
+
+    assert np.allclose(np.asarray(out_sh["psd"]),
+                       np.asarray(out_ref["psd"]), rtol=1e-3, atol=1e-8)
+    a_ref = np.asarray(out_ref["audio"])
+    a_sh = np.asarray(out_sh["audio"])
+    assert a_ref.shape == a_sh.shape
+    # FM is exact under BOTH channel and time sharding (halo exchange);
+    # tolerance covers fp reassociation across different shard layouts
+    assert np.allclose(a_sh, a_ref, atol=2e-3)
+    # carried state (tail, phi) must match exactly in all layouts
+    assert np.allclose(np.asarray(s_sh["tail"]), np.asarray(s_ref["tail"]),
+                       atol=1e-5)
+    assert np.allclose(np.asarray(s_sh["phi"]), np.asarray(s_ref["phi"]),
+                       atol=1e-4)

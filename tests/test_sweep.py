@@ -1,0 +1,92 @@
+"""Panoramic sweep: SpectrumView stitching + Scanner hops."""
+
+import numpy as np
+import pytest
+
+from sigdigger_tpu.analyzer.sweep import Scanner, SpectrumView
+from sigdigger_tpu.profiles import SourceProfile
+from sigdigger_tpu.sources.synth import Emitter, SynthBandSource
+from sigdigger_tpu.types import SpectrumPartitioning, SweepStrategy
+
+
+def test_view_linear_rebin():
+    view = SpectrumView(100e6, 110e6, bins=1024)  # ~9.8 kHz/bin
+    # source PSD: 1024 bins over 2 MHz → ~2 kHz/bin (finer → linear)
+    psd = np.ones(1024, np.float32)
+    psd[512 + 100] = 100.0  # tone at +195 kHz
+    view.feed(psd, f_center=105e6, sample_rate=2e6, rel_bw=0.5)
+    freqs = view.frequencies()
+    got = view.interpolate()
+    peak_f = freqs[np.argmax(got)]
+    assert abs(peak_f - (105e6 + 100 * (2e6 / 1024))) < 2 * view.bin_hz
+    assert 0.0 < view.coverage() < 0.2  # only the hop's central window
+
+
+def test_view_histogram_mode():
+    view = SpectrumView(0.0, 1e9, bins=1024)  # ~1 MHz/bin, coarser
+    psd = np.full(256, 2.0, np.float32)
+    view.feed(psd, f_center=500e6, sample_rate=1e6, rel_bw=1.0)
+    # whole hop lands in ~1 bin at 500 MHz
+    b = np.argmax(view.count)
+    assert abs(view.frequencies()[b] - 500e6) < 2e6
+    assert np.isclose(view.psd[b], 2.0, rtol=1e-5)
+
+
+def test_view_interpolation_fills_gaps():
+    view = SpectrumView(0.0, 1e6, bins=64)
+    psd = np.full(64, 1.0, np.float32)
+    view.feed(psd, f_center=0.1e6, sample_rate=0.2e6, rel_bw=1.0)
+    view.feed(psd, f_center=0.9e6, sample_rate=0.2e6, rel_bw=1.0)
+    out = view.interpolate()
+    assert np.all(out > 0)  # gaps filled
+
+
+def test_view_set_range_preserves():
+    view = SpectrumView(0.0, 1e6, bins=256)
+    psd = np.full(64, 5.0, np.float32)
+    view.feed(psd, f_center=0.5e6, sample_rate=0.4e6, rel_bw=1.0)
+    view.set_range(0.25e6, 0.75e6)
+    assert view.coverage() > 0
+    assert np.isclose(view.psd[view.count > 0].mean(), 5.0, rtol=1e-4)
+
+
+def band_source(rate=2_048_000):
+    prof = SourceProfile(type="synth", sample_rate=rate, noise_db=-60.0)
+    emitters = [Emitter(freq=101.0e6, amplitude=1.0),
+                Emitter(freq=105.5e6, amplitude=0.5),
+                Emitter(freq=108.9e6, amplitude=0.8)]
+    return SynthBandSource(prof, emitters)
+
+
+@pytest.mark.parametrize("strategy", [SweepStrategy.PROGRESSIVE,
+                                      SweepStrategy.STOCHASTIC])
+def test_scanner_finds_emitters(strategy):
+    src = band_source()
+    sc = Scanner(src, 100e6, 110e6, strategy=strategy,
+                 resolution_hz=4000.0, seed=42)
+    psd = sc.sweep(hops=40)
+    freqs = sc.view.frequencies()
+    floor = np.median(psd)
+    for f_em in (101.0e6, 105.5e6, 108.9e6):
+        i = np.argmin(np.abs(freqs - f_em))
+        window = psd[max(0, i - 8):i + 8]
+        assert window.max() > 50 * floor, f_em
+    assert sc.view.coverage() > 0.5
+
+
+def test_scanner_progressive_covers_everything():
+    src = band_source()
+    sc = Scanner(src, 100e6, 104e6,
+                 strategy=SweepStrategy.PROGRESSIVE,
+                 partitioning=SpectrumPartitioning.DISCRETE,
+                 resolution_hz=4000.0)
+    sc.sweep(hops=sc._n_parts)
+    assert sc.view.coverage() > 0.95
+
+
+def test_scanner_needs_tunable_source():
+    from sigdigger_tpu.sources.tonegen import ToneGenSource
+
+    src = ToneGenSource(SourceProfile(type="tonegen", sample_rate=1_000_000))
+    with pytest.raises(ValueError):
+        Scanner(src, 0.0, 1e6)
