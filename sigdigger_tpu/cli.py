@@ -1,0 +1,311 @@
+"""Command-line front end — headless counterpart of the reference apps.
+
+The reference ships three tools behind one binary (`--tool=SigDigger |
+RMSViewer | FileViewer`, reference main.cpp:176-249).  The TPU build is
+headless; the CLI exposes the same capabilities as subcommands:
+
+    info     capture metadata probe            (FileViewer's loader)
+    psd      averaged spectrum of a capture    (MainSpectrum, offline)
+    demod    audio demodulation → WAV          (AudioProcessor chain)
+    symbols  digital demodulation → symbols    (GenericInspector chain)
+    rms      power log → CSV                   (RMSInspector)
+    scan     panoramic sweep over a synth band (PanoramicDialog/Scanner)
+    doppler  satellite Doppler prediction      (FrequencyCorrectionDialog)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def _load_capture(args) -> tuple[np.ndarray, float]:
+    from sigdigger_tpu.sources import guess_metadata, make_source
+
+    prof = guess_metadata(args.file)
+    if getattr(args, "rate", None):
+        prof.sample_rate = int(args.rate)
+    src = make_source(prof)
+    total = src.total_samples or 0
+    data = src.read(total) if total else np.zeros(0, np.complex64)
+    src.close()
+    return data, prof.sample_rate
+
+
+def cmd_info(args) -> int:
+    from sigdigger_tpu.sources import guess_metadata, make_source
+
+    prof = guess_metadata(args.file)
+    src = make_source(prof)
+    info = {
+        "path": args.file,
+        "format": prof.format.value,
+        "sample_rate": prof.sample_rate,
+        "frequency": prof.freq,
+        "samples": src.total_samples,
+        "duration_s": (src.total_samples or 0) / prof.sample_rate,
+    }
+    src.close()
+    print(json.dumps(info, indent=1))
+    return 0
+
+
+def cmd_psd(args) -> int:
+    from sigdigger_tpu.dsp import SpectrumEstimator, psd_frequencies
+    from sigdigger_tpu.types import WindowFunction
+
+    data, rate = _load_capture(args)
+    n = args.fft
+    usable = (len(data) // n) * n
+    if usable == 0:
+        print("capture shorter than one FFT", file=sys.stderr)
+        return 1
+    est = SpectrumEstimator(n, rate, WindowFunction.BLACKMANN_HARRIS,
+                            alpha=2.0 / (usable // n + 1))
+    est.feed(data[:usable])
+    psd = est.shifted()
+    freqs = psd_frequencies(n, rate)
+    db = 10 * np.log10(psd + 1e-30)
+    if args.output:
+        with open(args.output, "w") as f:
+            f.write("freq_hz,psd_db\n")
+            for fr, d in zip(freqs, db):
+                f.write(f"{fr:.1f},{d:.2f}\n")
+        print(f"wrote {args.output}")
+    peak = int(np.argmax(psd))
+    print(json.dumps({
+        "peak_freq_hz": float(freqs[peak]),
+        "peak_db": float(db[peak]),
+        "noise_floor_db": float(np.median(db)),
+    }))
+    return 0
+
+
+def cmd_demod(args) -> int:
+    from sigdigger_tpu.analyzer import Analyzer, MessageKind
+    from sigdigger_tpu.io.wav import WavWriter
+    from sigdigger_tpu.sources import guess_metadata
+    from sigdigger_tpu.types import AnalyzerParams, Channel
+
+    modes = {"am": 1, "fm": 2, "usb": 3, "lsb": 4, "raw": 5}
+    prof = guess_metadata(args.file)
+    if args.rate:
+        prof.sample_rate = int(args.rate)
+    an = Analyzer(profile=prof,
+                  params=AnalyzerParams(psd_update_interval=1e9))
+    an.open_inspector(
+        "audio", Channel(fc=args.freq, bw=args.bw),
+        config={"audio.demodulator": modes[args.mode],
+                "audio.sample-rate": args.audio_rate,
+                "audio.cutoff": min(args.bw / 2, 15000.0),
+                "audio.volume": 1.0,
+                "agc.enabled": args.mode in ("am", "usb", "lsb")})
+    writer = WavWriter(args.output, args.audio_rate, channels=1)
+    n = 0
+    while an.step():
+        for m in an.poll():
+            if m.kind == MessageKind.SAMPLES:
+                writer.write(np.real(m.samples))
+                n += len(m.samples)
+    writer.close()
+    print(f"wrote {args.output}: {n} samples at {args.audio_rate} Hz")
+    return 0
+
+
+def cmd_symbols(args) -> int:
+    from sigdigger_tpu.analyzer import Analyzer, MessageKind
+    from sigdigger_tpu.sources import guess_metadata
+    from sigdigger_tpu.types import AnalyzerParams, Channel
+
+    prof = guess_metadata(args.file)
+    if args.rate:
+        prof.sample_rate = int(args.rate)
+    an = Analyzer(profile=prof,
+                  params=AnalyzerParams(psd_update_interval=1e9))
+    cfg = {"clock.baud": args.baud, "clock.type": 1,
+           "mf.type": 1}
+    if args.mode == "psk":
+        cfg["afc.bits-per-symbol"] = args.bps
+    elif args.mode == "fsk":
+        cfg["fsk.bits-per-symbol"] = args.bps
+    else:
+        cfg["ask.bits-per-symbol"] = args.bps
+    an.open_inspector(args.mode, Channel(fc=args.freq, bw=args.bw),
+                      config=cfg)
+    symbols = []
+    while an.step():
+        for m in an.poll():
+            if m.kind == MessageKind.SAMPLES and "symbols" in m.extras:
+                st = m.extras.get("strobes")
+                ids = m.extras["symbols"]
+                symbols.append(ids[st] if st is not None else ids)
+    out = np.concatenate(symbols) if symbols else np.zeros(0, np.uint8)
+    if args.output:
+        out.tofile(args.output)
+        print(f"wrote {args.output}: {len(out)} symbols")
+    else:
+        sys.stdout.write("".join(str(int(s)) for s in out[:10000]))
+        sys.stdout.write("\n")
+    return 0
+
+
+def cmd_rms(args) -> int:
+    from sigdigger_tpu.analyzer import Analyzer, MessageKind
+    from sigdigger_tpu.sources import guess_metadata
+    from sigdigger_tpu.types import AnalyzerParams, Channel
+
+    prof = guess_metadata(args.file)
+    if args.rate:
+        prof.sample_rate = int(args.rate)
+    an = Analyzer(profile=prof,
+                  params=AnalyzerParams(psd_update_interval=1e9))
+    an.open_inspector(
+        "power", Channel(fc=args.freq, bw=args.bw),
+        config={"power.integrate-samples": args.integrate})
+    rows = []
+    t = 0.0
+    while an.step():
+        for m in an.poll():
+            if m.kind == MessageKind.SAMPLES:
+                for v in np.ravel(m.samples):
+                    rows.append((t, float(v)))
+                    t += args.integrate / an.sample_rate
+    with open(args.output, "w") as f:
+        f.write("time_s,rms\n")
+        for ts, v in rows:
+            f.write(f"{ts:.6f},{v:.9e}\n")
+    print(f"wrote {args.output}: {len(rows)} points")
+    return 0
+
+
+def cmd_scan(args) -> int:
+    from sigdigger_tpu.analyzer.sweep import Scanner
+    from sigdigger_tpu.profiles import SourceProfile
+    from sigdigger_tpu.sources.synth import Emitter, SynthBandSource
+    from sigdigger_tpu.types import SweepStrategy
+
+    prof = SourceProfile(type="synth", sample_rate=args.rate or 2_048_000,
+                         noise_db=-60.0)
+    emitters = [Emitter(freq=f) for f in args.emitters or []]
+    src = SynthBandSource(prof, emitters)
+    sc = Scanner(src, args.fmin, args.fmax,
+                 strategy=SweepStrategy.PROGRESSIVE
+                 if args.progressive else SweepStrategy.STOCHASTIC)
+    psd = sc.sweep(args.hops)
+    freqs = sc.view.frequencies()
+    if args.output:
+        with open(args.output, "w") as f:
+            f.write("freq_hz,psd\n")
+            for fr, p in zip(freqs, psd):
+                f.write(f"{fr:.1f},{p:.6e}\n")
+    db = 10 * np.log10(psd + 1e-30)
+    floor = np.median(db)
+    peaks = freqs[db > floor + 10.0]
+    print(json.dumps({"hops": sc.hops_done,
+                      "coverage": sc.view.coverage(),
+                      "hot_bins": len(peaks)}))
+    return 0
+
+
+def cmd_doppler(args) -> int:
+    from sigdigger_tpu.orbit import OrbitPredictor, parse_tle
+
+    with open(args.tle) as f:
+        tles = parse_tle(f.read())
+    if not tles:
+        print("no TLEs found", file=sys.stderr)
+        return 1
+    tle = tles[0]
+    pred = OrbitPredictor(tle, args.lat, args.lon, args.alt / 1000.0)
+    import time as _time
+    t0 = args.start if args.start else _time.time()
+    for dt in range(0, args.duration, args.step):
+        info = pred.predict(t0 + dt, args.freq)
+        print(f"{dt:6d}s  dopp {info.doppler_hz:+9.1f} Hz  "
+              f"el {info.elevation_deg:+6.2f}°  az {info.azimuth_deg:6.2f}°"
+              f"  range {info.range_km:8.1f} km")
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="sigdigger-tpu",
+        description="TPU-native signal analyzer (headless)")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    pi = sub.add_parser("info", help="probe capture metadata")
+    pi.add_argument("file")
+    pi.set_defaults(fn=cmd_info)
+
+    pp = sub.add_parser("psd", help="averaged PSD of a capture")
+    pp.add_argument("file")
+    pp.add_argument("--fft", type=int, default=4096)
+    pp.add_argument("--rate", type=float)
+    pp.add_argument("-o", "--output", help="CSV output path")
+    pp.set_defaults(fn=cmd_psd)
+
+    pd = sub.add_parser("demod", help="audio demodulation to WAV")
+    pd.add_argument("file")
+    pd.add_argument("--freq", type=float, required=True)
+    pd.add_argument("--bw", type=float, default=12500.0)
+    pd.add_argument("--mode", choices=["am", "fm", "usb", "lsb", "raw"],
+                    default="fm")
+    pd.add_argument("--rate", type=float)
+    pd.add_argument("--audio-rate", type=int, default=44100)
+    pd.add_argument("-o", "--output", default="audio.wav")
+    pd.set_defaults(fn=cmd_demod)
+
+    ps = sub.add_parser("symbols", help="digital demodulation")
+    ps.add_argument("file")
+    ps.add_argument("--freq", type=float, required=True)
+    ps.add_argument("--bw", type=float, default=25000.0)
+    ps.add_argument("--mode", choices=["psk", "fsk", "ask"],
+                    default="psk")
+    ps.add_argument("--baud", type=float, required=True)
+    ps.add_argument("--bps", type=int, default=1)
+    ps.add_argument("--rate", type=float)
+    ps.add_argument("-o", "--output")
+    ps.set_defaults(fn=cmd_symbols)
+
+    pr = sub.add_parser("rms", help="power log to CSV")
+    pr.add_argument("file")
+    pr.add_argument("--freq", type=float, default=0.0)
+    pr.add_argument("--bw", type=float, default=100000.0)
+    pr.add_argument("--integrate", type=int, default=1000)
+    pr.add_argument("--rate", type=float)
+    pr.add_argument("-o", "--output", default="rms.csv")
+    pr.set_defaults(fn=cmd_rms)
+
+    pc = sub.add_parser("scan", help="panoramic sweep (synth band demo)")
+    pc.add_argument("--fmin", type=float, required=True)
+    pc.add_argument("--fmax", type=float, required=True)
+    pc.add_argument("--hops", type=int, default=50)
+    pc.add_argument("--rate", type=float)
+    pc.add_argument("--progressive", action="store_true")
+    pc.add_argument("--emitters", type=float, nargs="*")
+    pc.add_argument("-o", "--output")
+    pc.set_defaults(fn=cmd_scan)
+
+    po = sub.add_parser("doppler", help="satellite Doppler prediction")
+    po.add_argument("tle", help="TLE file")
+    po.add_argument("--freq", type=float, required=True)
+    po.add_argument("--lat", type=float, required=True)
+    po.add_argument("--lon", type=float, required=True)
+    po.add_argument("--alt", type=float, default=0.0, help="meters")
+    po.add_argument("--start", type=float, help="unix time (default now)")
+    po.add_argument("--duration", type=int, default=600)
+    po.add_argument("--step", type=int, default=60)
+    po.set_defaults(fn=cmd_doppler)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
