@@ -234,11 +234,17 @@ class MatChannelizer:
     def feed(self, x: np.ndarray) -> np.ndarray:
         """One block of ``cfg.block_in`` input samples → audio
         [audio_out, n_channels] float32."""
+        from sigdigger_tpu.native import frame_windows
+
         cfg = self.cfg
-        xw, self._history = make_windows(cfg, x, self._history)
+        ext = np.concatenate([self._history,
+                              np.asarray(x, np.complex64)])
+        xw_re, xw_im = frame_windows(ext, cfg.block_out, cfg.taps,
+                                     cfg.decimation)
+        self._history = ext[-(cfg.taps - 1):].copy()
         phi0 = np.mod(self._phi, _TWO_PI).astype(np.float32)
         audio, last_re, last_im = self._call(
-            np.ascontiguousarray(xw.real), np.ascontiguousarray(xw.imag),
+            xw_re, xw_im,
             self.consts["h_re"], self.consts["h_im"],
             self.consts["theta"], self.consts["m_ramp"], phi0,
             np.ascontiguousarray(self._prev.real),

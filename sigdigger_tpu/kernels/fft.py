@@ -163,15 +163,11 @@ class PallasPSD:
     def prepare(self, x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """Host framing: x [block_in] complex → windowed [A, F·B] planes
         in the kernel's layout (column f·B+b, row a ↔ sample a·B+b)."""
+        from sigdigger_tpu.native import frame_psd
+
         cfg = self.cfg
-        a, b = cfg.a, cfg.b
-        frames = x.reshape(cfg.frames_per_block, cfg.fft_size) * \
-            self._taps[None, :]
-        arr = frames.reshape(cfg.frames_per_block, a, b)
-        arr = np.transpose(arr, (1, 0, 2)).reshape(
-            a, cfg.frames_per_block * b)
-        return (np.ascontiguousarray(arr.real.astype(np.float32)),
-                np.ascontiguousarray(arr.imag.astype(np.float32)))
+        return frame_psd(np.asarray(x, np.complex64), self._taps,
+                         cfg.frames_per_block, cfg.a, cfg.b)
 
     def feed(self, x: np.ndarray) -> np.ndarray:
         x_re, x_im = self.prepare(np.asarray(x, np.complex64))

@@ -33,12 +33,19 @@ def convert_raw(raw: np.ndarray, fmt: SampleFormat) -> np.ndarray:
 
     Scaling follows the usual SDR conventions (suscan source readers):
     s8/s16 divide by full scale, u8 is offset binary (rtl-sdr style),
-    float32 real data maps to the I rail.
+    float32 real data maps to the I rail.  Integer formats route through
+    the native converter when sdcore is built.
     """
     if fmt == SampleFormat.RAW_COMPLEX64:
         return raw.astype(np.complex64)
     if fmt == SampleFormat.RAW_FLOAT32:
         return raw.astype(np.float32).astype(np.complex64)
+    if fmt in (SampleFormat.RAW_INT16, SampleFormat.RAW_INT8,
+               SampleFormat.RAW_UINT8):
+        from sigdigger_tpu import native
+
+        if native.HAVE_NATIVE:
+            return native.convert_interleaved(np.ascontiguousarray(raw))
     pairs = raw.reshape(-1, 2)
     if fmt == SampleFormat.RAW_INT16:
         f = pairs.astype(np.float32) / 32768.0
