@@ -125,8 +125,25 @@ class Analyzer:
         self._samples_done = 0
         self._t_start = None
         self._measured_rate = 0.0
+        # baseband filters: callables fed every raw block before DSP —
+        # the reference's analyzer-thread tee used for raw IQ recording
+        # (reference Default/Source/SourceWidget.cpp:1174-1190)
+        self._bb_filters: list = []
 
         self.emit_source_info()
+
+    def install_baseband_filter(self, fn) -> None:
+        """Register ``fn(samples: np.ndarray) -> None`` on the raw
+        source stream (recording tee)."""
+        with self._lock:
+            self._bb_filters.append(fn)
+
+    def remove_baseband_filter(self, fn) -> None:
+        with self._lock:
+            try:
+                self._bb_filters.remove(fn)
+            except ValueError:
+                pass
 
     # ------------------------------------------------------------------
     # message queue
@@ -355,6 +372,8 @@ class Analyzer:
                 self._emit(Message(kind=MessageKind.READ_ERROR))
                 return False
             looped = self.source.looped
+            for bb in self._bb_filters:
+                bb(x)
 
             if self._t_start is None:
                 self._t_start = time.monotonic()

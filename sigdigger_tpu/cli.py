@@ -65,6 +65,20 @@ def cmd_psd(args) -> int:
         return 1
     est = SpectrumEstimator(n, rate, WindowFunction.BLACKMANN_HARRIS,
                             alpha=2.0 / (usable // n + 1))
+    if args.waterfall:
+        from sigdigger_tpu.utils.waterfall import Waterfall
+
+        wf = Waterfall(bins=n)
+        est_wf = SpectrumEstimator(n, rate,
+                                   WindowFunction.BLACKMANN_HARRIS,
+                                   alpha=0.5)
+        rows = min(512, usable // n)
+        per_row = usable // rows // n * n
+        for i in range(rows):
+            est_wf.feed(data[i * per_row:(i + 1) * per_row])
+            wf.feed(est_wf.shifted())
+        wf.save_png(args.waterfall)
+        print(f"wrote {args.waterfall} ({wf.rows} rows)")
     est.feed(data[:usable])
     psd = est.shifted()
     freqs = psd_frequencies(n, rate)
@@ -245,6 +259,7 @@ def build_parser() -> argparse.ArgumentParser:
     pp.add_argument("--fft", type=int, default=4096)
     pp.add_argument("--rate", type=float)
     pp.add_argument("-o", "--output", help="CSV output path")
+    pp.add_argument("--waterfall", help="PNG waterfall output path")
     pp.set_defaults(fn=cmd_psd)
 
     pd = sub.add_parser("demod", help="audio demodulation to WAV")

@@ -87,6 +87,8 @@ class PskInspector(_DigitalBase):
     class_name = "psk"
 
     def _build(self) -> None:
+        from sigdigger_tpu.dsp.equalizer import CMAEqualizer
+
         cfg = self.config
         self.bps = max(1, int(cfg["afc.bits-per-symbol"]))
         order = int(cfg["afc.costas-order"])
@@ -101,6 +103,10 @@ class PskInspector(_DigitalBase):
                                   loop_bw=float(cfg["afc.loop-bw"]),
                                   order=self.order)
         self._build_mf()
+        self._eq = (CMAEqualizer(self.channels,
+                                 rate=float(cfg["equalizer.rate"]),
+                                 locked=bool(cfg["equalizer.locked"]))
+                    if int(cfg["equalizer.type"]) == 1 else None)
 
     def process(self, x) -> dict[str, Any]:
         x = jnp.asarray(x, jnp.complex64)
@@ -110,6 +116,8 @@ class PskInspector(_DigitalBase):
         y = self._costas(y)
         if self._mf is not None:
             y = self._mf(y)
+        if self._eq is not None:
+            y = self._eq(y)
         syms, strobes = self._recover_symbols(y)
         # the Costas detector locks constellation points onto angles
         # 2*pi*k/M, so sector 0 is centered on angle 0
