@@ -49,7 +49,7 @@ def bench_tpu() -> tuple[float, dict]:
 
     psd_cfg = PallasPSDConfig(fft_size=4096,
                               frames_per_block=cfg.block_in // 4096,
-                              frames_per_program=cfg.block_in // 4096)
+                              frames_per_program=8)
     psd = PallasPSD(psd_cfg, cfg.sample_rate,
                     WindowFunction.BLACKMANN_HARRIS, interpret=False)
 

@@ -4,12 +4,15 @@ from sigdigger_tpu.kernels.channelizer import (
 )
 from sigdigger_tpu.kernels.fft import PallasPSD, PallasPSDConfig
 from sigdigger_tpu.kernels.ops import atan2, complex_matmul, complex_mul
+from sigdigger_tpu.kernels.psk import PskKernel, PskKernelConfig
 
 __all__ = [
     "MatChannelizer",
     "MatChannelizerConfig",
     "PallasPSD",
     "PallasPSDConfig",
+    "PskKernel",
+    "PskKernelConfig",
     "atan2",
     "complex_matmul",
     "complex_mul",
