@@ -9,8 +9,9 @@ a channel tile and runs three passes entirely in VMEM:
      state, modulation-stripping power detector (no trig pairs per
      element: the LO is advanced as a complex phasor with periodic
      renormalization, so each step is mul/add + one rsqrt);
-  2. RRC matched filter — banded matrix matmul [M, M]×[M, C_t] (dense
-     on the MXU, negligible at these sizes);
+  2. RRC matched filter — K static shifted multiply-adds over the
+     tail-extended VMEM buffer (no M×M matrix: VMEM-frugal and exact
+     across block splits);
   3. Gardner timing recovery — `fori_loop`, power-normalized TED,
      linear interpolation, dense (symbol, strobe) output rows.
 
@@ -47,24 +48,19 @@ class PskKernelConfig:
 
 
 def make_psk_constants(cfg: PskKernelConfig) -> dict[str, np.ndarray]:
-    """Banded MF matrix over the tail-extended input: row i convolves
-    ext[(K-1) + i - t] for taps t, where ext carries the previous
-    block's last K-1 samples — block splits are exact."""
+    """RRC taps; the kernel convolves them as K static shifted
+    mul-adds over a tail-extended buffer (the previous block's last
+    K-1 samples are carried in state, so block splits are exact)."""
     taps = rrc_taps(cfg.sps, span=6, rolloff=cfg.rrc_rolloff)
-    k = len(taps)
-    m = cfg.block_len
-    band = np.zeros((m, m + k - 1), np.float32)
-    for i in range(m):
-        for t in range(k):
-            band[i, (k - 1) + i - t] = taps[t]
-    return {"mf": band, "taps_len": np.int64(k)}
+    return {"taps": taps.astype(np.float32),
+            "taps_len": np.int64(len(taps))}
 
 
-def _psk_kernel(y_re, y_im, mf, state_in, out_sym_re, out_sym_im,
+def _psk_kernel(y_re, y_im, state_in, out_sym_re, out_sym_im,
                 out_strobe, state_out, scr_re, scr_im,
-                *, m: int, k: int, order: int, alpha: float, beta: float,
-                gain_p: float, gain_f: float, p_min: float,
-                p_max: float):
+                *, m: int, k: int, taps: tuple, order: int,
+                alpha: float, beta: float, gain_p: float, gain_f: float,
+                p_min: float, p_max: float):
     # ----- pass 1: Costas derotation --------------------------------------
     # state rows: 0 lo_re, 1 lo_im, 2 freq, 3 t, 4 period, 5 prev_re,
     # 6 prev_im, 7 mid_re, 8 mid_im, 9 strobe_re, 10 strobe_im,
@@ -111,9 +107,13 @@ def _psk_kernel(y_re, y_im, mf, state_in, out_sym_re, out_sym_im,
     new_tail_re = scr_re[m:m + (k - 1), :]
     new_tail_im = scr_im[m:m + (k - 1), :]
 
-    # ----- pass 2: matched filter (banded matmul over tail-ext input) ----
-    fr = jnp.dot(mf[:], scr_re[:], preferred_element_type=jnp.float32)
-    fi = jnp.dot(mf[:], scr_im[:], preferred_element_type=jnp.float32)
+    # ----- pass 2: matched filter (K static shifted mul-adds) -----------
+    # fr[i] = sum_t taps[t] * ext[(K-1) + i - t]
+    fr = taps[0] * scr_re[k - 1:k - 1 + m, :]
+    fi = taps[0] * scr_im[k - 1:k - 1 + m, :]
+    for t in range(1, k):
+        fr = fr + taps[t] * scr_re[k - 1 - t:k - 1 - t + m, :]
+        fi = fi + taps[t] * scr_im[k - 1 - t:k - 1 - t + m, :]
     scr_re[0:m, :] = fr
     scr_im[0:m, :] = fi
 
@@ -176,7 +176,7 @@ class PskKernel:
         if interpret is None:
             interpret = jax.default_backend() not in ("tpu", "axon")
         consts = make_psk_constants(cfg)
-        self.mf = jnp.asarray(consts["mf"])
+        self.taps = tuple(float(t) for t in consts["taps"])
         self.taps_len = int(consts["taps_len"])
         self.STATE_ROWS = 13 + 2 * (self.taps_len - 1)
         alpha, beta = loop_gains(cfg.loop_bw)
@@ -188,9 +188,6 @@ class PskKernel:
                 pl.BlockSpec((m, ct), lambda i: (0, i),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((m, ct), lambda i: (0, i),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((m, m + self.taps_len - 1),
-                             lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((self.STATE_ROWS, ct), lambda i: (0, i),
                              memory_space=pltpu.VMEM),
@@ -212,7 +209,8 @@ class PskKernel:
         )
         c = cfg.n_channels
         self._call = jax.jit(pl.pallas_call(
-            partial(_psk_kernel, m=m, k=self.taps_len, order=cfg.order,
+            partial(_psk_kernel, m=m, k=self.taps_len, taps=self.taps,
+                    order=cfg.order,
                     alpha=float(alpha), beta=float(beta),
                     gain_p=cfg.clock_gain,
                     gain_f=cfg.clock_gain ** 2 / 4.0,
@@ -244,7 +242,7 @@ class PskKernel:
         y = np.asarray(y, np.complex64)
         sr, si, strobe, self.state = self._call(
             np.ascontiguousarray(y.real), np.ascontiguousarray(y.imag),
-            self.mf, self.state)
+            self.state)
         return (np.asarray(sr) + 1j * np.asarray(si),
                 np.asarray(strobe) > 0.5)
 
