@@ -44,7 +44,13 @@ from sigdigger_tpu.dsp.spectrum import SpectrumEstimator
 from sigdigger_tpu.inspectors import Inspector, make_inspector
 from sigdigger_tpu.profiles import SourceProfile
 from sigdigger_tpu.sources import SignalSource, make_source
-from sigdigger_tpu.types import AnalyzerParams, Channel, SourceInfo, next_pow2
+from sigdigger_tpu.types import (
+    AnalyzerMode,
+    AnalyzerParams,
+    Channel,
+    SourceInfo,
+    next_pow2,
+)
 
 
 class AnalyzerState(enum.Enum):
@@ -109,6 +115,19 @@ class Analyzer:
         )
         self._channelizer = Channelizer(rate, fft_size=w)
         self._detector = ChannelDetector(self.params, rate, w)
+
+        # wide-spectrum (sweep) mode: the engine hops a tunable source
+        # across [min_freq, max_freq] (reference AnalyzerParams mode +
+        # hop range, include/Suscan/AnalyzerParams.h:45-60;
+        # Analyzer::setHopRange)
+        self._hop_rng = np.random.default_rng(0)
+        self._hop_index = 0
+        if self.params.mode == AnalyzerMode.WIDE_SPECTRUM:
+            if not hasattr(self.source, "set_frequency"):
+                raise ValueError(
+                    "wide-spectrum mode needs a tunable source")
+            if self.params.max_freq <= self.params.min_freq:
+                raise ValueError("wide-spectrum mode needs a hop range")
 
         self._mq: queue.Queue[Message] = queue.Queue()
         self._inspectors: dict[int, _InspectorSlot] = {}
@@ -195,6 +214,67 @@ class Analyzer:
 
     def set_loop(self, enabled: bool) -> None:
         self.profile.loop = bool(enabled)
+
+    def set_hop_range(self, min_freq: float, max_freq: float) -> None:
+        """Adjust the wide-spectrum sweep range (reference
+        Analyzer::setHopRange, Suscan/Analyzer.cpp)."""
+        if max_freq <= min_freq:
+            self._emit(StatusMessage(code=-3, message="bad hop range"))
+            return
+        self.params.min_freq = float(min_freq)
+        self.params.max_freq = float(max_freq)
+
+    def _next_hop(self) -> float:
+        """Next sweep frequency per strategy/partitioning (reference
+        include/Suscan/Analyzer.h:263-271 semantics)."""
+        from sigdigger_tpu.types import SpectrumPartitioning, SweepStrategy
+
+        usable = self.sample_rate * self.params.hop_relative_bw
+        span = self.params.max_freq - self.params.min_freq
+        n_parts = max(1, int(np.ceil(span / usable)))
+        if self.params.spectrum_partitioning == \
+                SpectrumPartitioning.DISCRETE:
+            if self.params.sweep_strategy == SweepStrategy.STOCHASTIC:
+                part = int(self._hop_rng.integers(0, n_parts))
+            else:
+                part = self._hop_index % n_parts
+                self._hop_index += 1
+            return self.params.min_freq + usable * (part + 0.5)
+        if self.params.sweep_strategy == SweepStrategy.STOCHASTIC:
+            return float(self._hop_rng.uniform(
+                self.params.min_freq + usable / 2,
+                self.params.max_freq - usable / 2))
+        frac = (self._hop_index % 64) / 64.0
+        self._hop_index += 1
+        return self.params.min_freq + usable / 2 + frac * (span - usable)
+
+    def _step_wide_spectrum(self) -> bool:
+        """One sweep hop: retune → read → PSD message at the hop
+        frequency (clients stitch with SpectrumView)."""
+        with self._lock:
+            if self.source.eos:
+                self._emit(Message(kind=MessageKind.EOS))
+                return False
+            hop = self._next_hop()
+            self.source.set_frequency(hop)
+            try:
+                self.source.read(self.params.window_size)  # settle
+                x = self.source.read(self.block_size)
+            except Exception as e:  # noqa: BLE001
+                self._emit(StatusMessage(code=-2, message=str(e)))
+                self._emit(Message(kind=MessageKind.READ_ERROR))
+                return False
+            self._spectrum.reset()
+            self._spectrum.feed(x)
+            shifted = self._spectrum.shifted()
+        self._samples_done += self.block_size
+        self._emit(PSDMessage(
+            fft_size=self.params.window_size,
+            sample_rate=self.sample_rate,
+            measured_sample_rate=self._measured_rate,
+            frequency=hop, data=shifted,
+        ))
+        return True
 
     def emit_source_info(self) -> None:
         info = SourceInfo(
@@ -361,6 +441,8 @@ class Analyzer:
     # ------------------------------------------------------------------
     def step(self) -> bool:
         """Process one block; returns False when the source is done."""
+        if self.params.mode == AnalyzerMode.WIDE_SPECTRUM:
+            return self._step_wide_spectrum()
         with self._lock:
             if self.source.eos:
                 self._emit(Message(kind=MessageKind.EOS))

@@ -183,3 +183,62 @@ def test_request_tracker():
     assert req.handle > 0
     assert req.equiv_rate > 0
     assert req.config is not None and "audio.demodulator" in req.config.schema
+
+
+def test_wide_spectrum_mode():
+    from sigdigger_tpu.analyzer.sweep import SpectrumView
+    from sigdigger_tpu.sources.synth import Emitter, SynthBandSource
+    from sigdigger_tpu.types import AnalyzerMode, SweepStrategy
+
+    prof = SourceProfile(type="synth", sample_rate=2_048_000,
+                         noise_db=-60.0)
+    src = SynthBandSource(prof, [Emitter(101.0e6, 1.0),
+                                 Emitter(105.5e6, 0.7)])
+    params = AnalyzerParams(
+        mode=AnalyzerMode.WIDE_SPECTRUM, window_size=2048,
+        min_freq=100e6, max_freq=108e6,
+        sweep_strategy=SweepStrategy.PROGRESSIVE)
+    an = Analyzer(source=src, params=params, block_size=2048 * 4)
+    view = SpectrumView(100e6, 108e6, bins=4096)
+    hops = set()
+    for _ in range(16):
+        assert an.step()
+        for m in drain(an, {MessageKind.PSD}):
+            hops.add(m.frequency)
+            view.feed(m.data, m.frequency, m.sample_rate, 0.5)
+    assert len(hops) >= 8          # progressive covers the partitions
+    psd = view.interpolate()
+    freqs = view.frequencies()
+    floor = np.median(psd)
+    for f_em in (101.0e6, 105.5e6):
+        i = np.argmin(np.abs(freqs - f_em))
+        assert psd[max(0, i - 4):i + 4].max() > 20 * floor
+
+
+def test_wide_spectrum_needs_tunable_source():
+    import pytest
+    from sigdigger_tpu.types import AnalyzerMode
+
+    params = AnalyzerParams(mode=AnalyzerMode.WIDE_SPECTRUM,
+                            min_freq=0.0, max_freq=1e6)
+    with pytest.raises(ValueError):
+        Analyzer(profile=tone_profile(), params=params)
+
+
+def test_set_hop_range():
+    from sigdigger_tpu.sources.synth import SynthBandSource
+    from sigdigger_tpu.types import AnalyzerMode
+
+    prof = SourceProfile(type="synth", sample_rate=1_000_000)
+    src = SynthBandSource(prof, [])
+    params = AnalyzerParams(mode=AnalyzerMode.WIDE_SPECTRUM,
+                            window_size=1024,
+                            min_freq=0.0, max_freq=10e6)
+    an = Analyzer(source=src, params=params, block_size=4096)
+    an.set_hop_range(50e6, 60e6)
+    an.step()
+    psds = drain(an, {MessageKind.PSD})
+    assert psds and 50e6 <= psds[0].frequency <= 60e6
+    an.set_hop_range(5e6, 1e6)  # invalid → status error, range kept
+    msgs = drain(an, {MessageKind.STATUS})
+    assert msgs and msgs[0].code == -3
