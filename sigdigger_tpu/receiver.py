@@ -1,0 +1,226 @@
+"""KernelReceiver — the TPU-native streaming receiver.
+
+Ties the Pallas kernel set into one production path: a signal source
+feeds fixed blocks; each block runs the Bailey-FFT PSD kernel and the
+fused matmul channelizer (FM) or channelizer + PSK/FSK/ASK recovery
+kernels; demodulated streams come back per channel.  This is the
+serving configuration `bench.py` measures — the suscan engine's hot
+path living entirely on the accelerator, with the host doing only
+framing (native sdcore) and IO.
+
+On CPU backends the same kernels run in interpreter mode, so the
+receiver works (slowly) everywhere and identically.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+
+from sigdigger_tpu.kernels.channelizer import (
+    MatChannelizer,
+    MatChannelizerConfig,
+)
+from sigdigger_tpu.kernels.digital import DigitalKernel, DigitalKernelConfig
+from sigdigger_tpu.kernels.fft import PallasPSD, PallasPSDConfig
+from sigdigger_tpu.kernels.psk import PskKernel, PskKernelConfig
+from sigdigger_tpu.sources.base import SignalSource
+from sigdigger_tpu.types import WindowFunction
+
+
+@dataclass
+class ReceiverBlock:
+    """One processed block."""
+
+    psd: np.ndarray                   # running natural-order PSD [N]
+    audio: np.ndarray | None = None   # [T_audio, C] (fm mode)
+    symbols: np.ndarray | None = None  # [T, C] complex (psk) / float
+    strobes: np.ndarray | None = None  # [T, C] bool
+
+
+class KernelReceiver:
+    """Multi-channel receiver on the Pallas kernel path.
+
+    mode: "fm" (fused channelize+demod+audio) or "psk"/"fsk"/"ask"
+    (channelize raw, then the batched recovery kernel).
+    """
+
+    def __init__(
+        self,
+        sample_rate: float,
+        f0s: np.ndarray,
+        bw: float,
+        mode: str = "fm",
+        decimation: int = 64,
+        block_out: int = 2048,
+        psd_fft: int = 4096,
+        baud: float | None = None,
+        psk_order: int = 4,
+        interpret: bool | None = None,
+    ) -> None:
+        f0s = np.asarray(f0s, np.float64)
+        n_channels = len(f0s)
+        tile = 128 if n_channels % 128 == 0 else \
+            max(8, 1 << int(np.log2(max(1, n_channels))))
+        while n_channels % tile:
+            tile //= 2
+        self.mode = mode
+        self.cfg = MatChannelizerConfig(
+            sample_rate=float(sample_rate), n_channels=n_channels,
+            taps=64, decimation=decimation, audio_taps=64,
+            audio_decim=8, block_out=block_out, channel_tile=tile,
+        )
+        if mode == "fm":
+            self._chan = MatChannelizer(self.cfg, f0s, bw,
+                                        interpret=interpret)
+            self._rec = None
+        else:
+            # raw channelizer: quad_gain unused; reuse the fused kernel
+            # with audio pass as a passthrough is wasteful — channelize
+            # via the fused kernel's Y by setting audio_decim=1 would
+            # change shapes; instead run the raw overlap-save extractor
+            # on host? No: reuse MatChannelizer but consume its rotated
+            # Y via the demod kernels requires the pre-demod signal.
+            # The recovery kernels take channelized baseband directly,
+            # so here we build a raw-output channelizer variant.
+            self._chan = _RawMatChannelizer(self.cfg, f0s, bw,
+                                            interpret=interpret)
+            sps = self.channel_rate / float(baud or
+                                            (self.channel_rate / 4))
+            if mode == "psk":
+                self._rec = PskKernel(PskKernelConfig(
+                    n_channels=n_channels, block_len=block_out,
+                    sps=sps, order=psk_order, channel_tile=tile,
+                ), interpret=interpret)
+            else:
+                self._rec = DigitalKernel(DigitalKernelConfig(
+                    n_channels=n_channels, block_len=block_out,
+                    mode=mode, sps=sps, channel_tile=tile,
+                ), interpret=interpret)
+        self._psd = PallasPSD(
+            PallasPSDConfig(
+                fft_size=psd_fft,
+                frames_per_block=self.cfg.block_in // psd_fft,
+                frames_per_program=min(
+                    8, self.cfg.block_in // psd_fft),
+            ),
+            float(sample_rate), WindowFunction.BLACKMANN_HARRIS,
+            interpret=interpret,
+        )
+
+    @property
+    def channel_rate(self) -> float:
+        return self.cfg.channel_rate
+
+    @property
+    def audio_rate(self) -> float:
+        return self.cfg.channel_rate / self.cfg.audio_decim
+
+    @property
+    def block_in(self) -> int:
+        return self.cfg.block_in
+
+    def feed(self, x: np.ndarray) -> ReceiverBlock:
+        psd = self._psd.feed(x)
+        if self.mode == "fm":
+            audio = self._chan.feed(x)
+            return ReceiverBlock(psd=psd, audio=audio)
+        y = self._chan.feed(x)
+        soft, strobes = self._rec.feed(y)
+        return ReceiverBlock(psd=psd, symbols=soft, strobes=strobes)
+
+    def run(self, source: SignalSource,
+            max_blocks: int | None = None) -> Iterator[ReceiverBlock]:
+        n = 0
+        while not source.eos:
+            if max_blocks is not None and n >= max_blocks:
+                return
+            x = source.read(self.block_in)
+            yield self.feed(x)
+            n += 1
+
+
+class _RawMatChannelizer(MatChannelizer):
+    """MatChannelizer variant emitting the rotated baseband Y [M, C]
+    instead of demodulated audio (feeds the PSK/FSK/ASK kernels)."""
+
+    def _build(self):
+        import jax
+        import jax.numpy as jnp
+        from functools import partial
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        cfg = self.cfg
+        ct = cfg.channel_tile
+        n_tiles = cfg.n_channels // ct
+        m, k = cfg.block_out, cfg.taps
+
+        def kernel(xw_re, xw_im, h_re, h_im, theta, m_ramp, phi0,
+                   y_re_ref, y_im_ref):
+            yr = jnp.dot(xw_re[:], h_re[:],
+                         preferred_element_type=jnp.float32) \
+                - jnp.dot(xw_im[:], h_im[:],
+                          preferred_element_type=jnp.float32)
+            yi = jnp.dot(xw_re[:], h_im[:],
+                         preferred_element_type=jnp.float32) \
+                + jnp.dot(xw_im[:], h_re[:],
+                          preferred_element_type=jnp.float32)
+            ph = phi0[:] + m_ramp[:] * theta[:]
+            cr = jnp.cos(ph)
+            ci = -jnp.sin(ph)
+            y_re_ref[:] = yr * cr - yi * ci
+            y_im_ref[:] = yr * ci + yi * cr
+
+        grid_spec = pl.GridSpec(
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec((m, k), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((m, k), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((k, ct), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((k, ct), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, ct), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((m, 1), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, ct), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((m, ct), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((m, ct), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+        )
+        c = cfg.n_channels
+        call = pl.pallas_call(
+            kernel, grid_spec=grid_spec,
+            out_shape=[jax.ShapeDtypeStruct((m, c), jnp.float32),
+                       jax.ShapeDtypeStruct((m, c), jnp.float32)],
+            interpret=self.interpret,
+        )
+        return jax.jit(call)
+
+    def feed(self, x: np.ndarray) -> np.ndarray:
+        from sigdigger_tpu.native import frame_windows
+
+        cfg = self.cfg
+        ext = np.concatenate([self._history,
+                              np.asarray(x, np.complex64)])
+        xw_re, xw_im = frame_windows(ext, cfg.block_out, cfg.taps,
+                                     cfg.decimation)
+        self._history = ext[-(cfg.taps - 1):].copy()
+        phi0 = np.mod(self._phi, 2.0 * np.pi).astype(np.float32)
+        y_re, y_im = self._call(
+            xw_re, xw_im, self.consts["h_re"], self.consts["h_im"],
+            self.consts["theta"], self.consts["m_ramp"], phi0,
+        )
+        self._phi = self._phi + self._theta64[None, :] * cfg.block_out
+        return np.asarray(y_re) + 1j * np.asarray(y_im)
