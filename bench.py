@@ -47,9 +47,11 @@ def bench_tpu() -> tuple[float, dict]:
     f0s = np.linspace(-48e6, 48e6, cfg.n_channels)
     mc = MatChannelizer(cfg, f0s, bw=800e3, interpret=False)
 
+    # frames_per_program = all frames: one PSD program per block measures
+    # faster in-chain than a grid of 4 (less per-program scheduling)
     psd_cfg = PallasPSDConfig(fft_size=4096,
                               frames_per_block=cfg.block_in // 4096,
-                              frames_per_program=8)
+                              frames_per_program=cfg.block_in // 4096)
     psd = PallasPSD(psd_cfg, cfg.sample_rate,
                     WindowFunction.BLACKMANN_HARRIS, interpret=False)
 

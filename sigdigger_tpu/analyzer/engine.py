@@ -38,7 +38,7 @@ from sigdigger_tpu.analyzer.messages import (
     SourceInfoMessage,
     StatusMessage,
 )
-from sigdigger_tpu.config import INSPECTOR_SCHEMAS, Config
+from sigdigger_tpu.config import INSPECTOR_SCHEMAS
 from sigdigger_tpu.dsp.channelizer import Channelizer
 from sigdigger_tpu.dsp.spectrum import SpectrumEstimator
 from sigdigger_tpu.inspectors import Inspector, make_inspector

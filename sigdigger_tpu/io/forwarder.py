@@ -10,8 +10,6 @@ from __future__ import annotations
 
 import socket
 
-import numpy as np
-
 from sigdigger_tpu.io.datasaver import GenericDataSaver
 
 _UDP_CHUNK = 1400   # stay under typical MTU

@@ -29,7 +29,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from sigdigger_tpu.dsp.window import window_taps
-from sigdigger_tpu.types import WindowFunction, next_pow2
+from sigdigger_tpu.types import WindowFunction
 
 
 def _dft_matrix(n: int, sign: float = -1.0) -> tuple[np.ndarray, np.ndarray]:

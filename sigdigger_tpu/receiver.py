@@ -149,7 +149,6 @@ class _RawMatChannelizer(MatChannelizer):
     def _build(self):
         import jax
         import jax.numpy as jnp
-        from functools import partial
         from jax.experimental import pallas as pl
         from jax.experimental.pallas import tpu as pltpu
 

@@ -13,7 +13,7 @@ from __future__ import annotations
 import abc
 import threading
 import traceback
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Callable
 
 
