@@ -1,0 +1,272 @@
+"""Fused channelizer v2: 2-D (channel, time) grid for large blocks.
+
+Identical math to `kernels/channelizer.py` (mix-baked matmul channelize
+→ rotate → discriminator → audio decimation) but tiled over TIME as
+well as channels, so one dispatch can process arbitrarily long blocks
+within a fixed VMEM budget — amortizing the per-dispatch cost that
+dominates remote-attached TPUs:
+
+- the audio decimating FIR becomes a *local banded matrix*
+  [Mt/Da, Mt+Ka-1] applied per time tile over a tail-extended f buffer
+  (the band pattern repeats every tile, so one small constant replaces
+  the [Ma, M] global matrix that blew VMEM);
+- discriminator prev-row and FIR tails carry across time tiles through
+  VMEM scratch (TPU grid programs run sequentially, innermost axis
+  fastest), seeded from the block-carry state at the first tile.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sigdigger_tpu.dsp.filters import fir_lowpass
+from sigdigger_tpu.kernels.channelizer import make_mat_constants
+from sigdigger_tpu.kernels.ops import atan2
+
+_TWO_PI = 2.0 * np.pi
+
+
+@dataclass(frozen=True)
+class MatChannelizer2Config:
+    sample_rate: float
+    n_channels: int
+    taps: int = 64
+    decimation: int = 64
+    audio_taps: int = 64
+    audio_decim: int = 8
+    block_out: int = 8192        # M total per dispatch
+    m_tile: int = 2048           # Mt per grid program
+    channel_tile: int = 128
+    quad_gain: float = 1.0 / np.pi
+
+    def __post_init__(self):
+        assert self.block_out % self.m_tile == 0
+        assert self.m_tile % self.audio_decim == 0
+        assert self.audio_taps % self.audio_decim == 0
+
+    @property
+    def block_in(self) -> int:
+        return self.block_out * self.decimation
+
+    @property
+    def audio_out(self) -> int:
+        return self.block_out // self.audio_decim
+
+    @property
+    def channel_rate(self) -> float:
+        return self.sample_rate / self.decimation
+
+
+def _local_band(cfg: MatChannelizer2Config) -> np.ndarray:
+    """Banded audio FIR over the tail-extended tile: row i (audio) hits
+    f_ext[i*Da - t + (Ka-1)] for tap t."""
+    ka, da, mt = cfg.audio_taps, cfg.audio_decim, cfg.m_tile
+    ataps = fir_lowpass(ka, min(1.0, 1.0 / da))
+    bt = np.zeros((mt // da, mt + ka - 1), np.float32)
+    for i in range(mt // da):
+        for t in range(ka):
+            bt[i, i * da - t + ka - 1] = ataps[t]
+    return bt
+
+
+def _kernel2(xw_re, xw_im, h_re, h_im, theta, m_ramp, phi0, prev_re,
+             prev_im, ftail_in, bt, audio_ref, last_re_ref, last_im_ref,
+             ftail_out_ref, scr_prev, scr_f,
+             *, mt: int, ka: int, m_tiles: int, quad_gain: float):
+    mi = pl.program_id(1)
+
+    yr = jnp.dot(xw_re[:], h_re[:], preferred_element_type=jnp.float32) \
+        - jnp.dot(xw_im[:], h_im[:], preferred_element_type=jnp.float32)
+    yi = jnp.dot(xw_re[:], h_im[:], preferred_element_type=jnp.float32) \
+        + jnp.dot(xw_im[:], h_re[:], preferred_element_type=jnp.float32)
+
+    # phi0 row mi already includes the mi*Mt*theta offset (host f64),
+    # keeping the trig arguments small enough for f32 precision
+    ph = phi0[:] + m_ramp[:] * theta[:]
+    cr = jnp.cos(ph)
+    ci = -jnp.sin(ph)
+    rr = yr * cr - yi * ci
+    ri = yr * ci + yi * cr
+
+    # discriminator prev row: block-carry state at the first time tile,
+    # scratch afterwards
+    @pl.when(mi == 0)
+    def _():
+        scr_prev[0:1, :] = prev_re[:]
+        scr_prev[1:2, :] = prev_im[:]
+        scr_f[0:ka - 1, :] = ftail_in[:]
+
+    pr = jnp.concatenate([scr_prev[0:1, :], rr[:-1, :]], axis=0)
+    pi = jnp.concatenate([scr_prev[1:2, :], ri[:-1, :]], axis=0)
+    dr = rr * pr + ri * pi
+    di = ri * pr - rr * pi
+    f = atan2(di, dr) * quad_gain
+
+    scr_f[ka - 1:ka - 1 + mt, :] = f
+    audio_ref[:] = jnp.dot(bt[:], scr_f[0:mt + ka - 1, :],
+                           preferred_element_type=jnp.float32)
+
+    # carry for the next time tile / the next block
+    scr_prev[0:1, :] = rr[-1:, :]
+    scr_prev[1:2, :] = ri[-1:, :]
+    scr_f[0:ka - 1, :] = scr_f[mt:mt + ka - 1, :]
+
+    @pl.when(mi == m_tiles - 1)
+    def _():
+        last_re_ref[:] = rr[-1:, :]
+        last_im_ref[:] = ri[-1:, :]
+        ftail_out_ref[:] = scr_f[0:ka - 1, :]
+
+
+class MatChannelizer2:
+    """Large-block streaming FM receiver on the 2-D-tiled fused kernel."""
+
+    def __init__(self, cfg: MatChannelizer2Config, f0s: np.ndarray,
+                 bw: float, interpret: bool | None = None) -> None:
+        assert cfg.n_channels % cfg.channel_tile == 0
+        self.cfg = cfg
+        if interpret is None:
+            interpret = jax.default_backend() not in ("tpu", "axon")
+        self.interpret = interpret
+        base_cfg_consts = make_mat_constants(
+            _as_v1_cfg(cfg), f0s, bw)
+        self.consts = {
+            "h_re": jnp.asarray(base_cfg_consts["h_re"]),
+            "h_im": jnp.asarray(base_cfg_consts["h_im"]),
+            "theta": jnp.asarray(base_cfg_consts["theta"]),
+            "m_ramp": jnp.asarray(
+                np.arange(cfg.m_tile, dtype=np.float32)[:, None]),
+            "bt": jnp.asarray(_local_band(cfg)),
+        }
+        c = cfg.n_channels
+        self._history = np.zeros(cfg.taps - 1, np.complex64)
+        self._prev = np.zeros((1, c), np.complex64)
+        self._ftail = np.zeros((cfg.audio_taps - 1, c), np.float32)
+        self._phi = np.zeros((1, c), np.float64)
+        self._theta64 = np.mod(
+            _TWO_PI * np.broadcast_to(np.asarray(f0s, np.float64), (c,))
+            / cfg.sample_rate * cfg.decimation, _TWO_PI)
+        self._call = self._build()
+
+    def _build(self):
+        cfg = self.cfg
+        ct, mt, ka = cfg.channel_tile, cfg.m_tile, cfg.audio_taps
+        k = cfg.taps
+        c_tiles = cfg.n_channels // ct
+        m_tiles = cfg.block_out // mt
+        da = cfg.audio_decim
+
+        grid_spec = pl.GridSpec(
+            grid=(c_tiles, m_tiles),      # mi innermost (sequential)
+            in_specs=[
+                pl.BlockSpec((mt, k), lambda ci, mi: (mi, 0),
+                             memory_space=pltpu.VMEM),      # xw_re
+                pl.BlockSpec((mt, k), lambda ci, mi: (mi, 0),
+                             memory_space=pltpu.VMEM),      # xw_im
+                pl.BlockSpec((k, ct), lambda ci, mi: (0, ci),
+                             memory_space=pltpu.VMEM),      # h_re
+                pl.BlockSpec((k, ct), lambda ci, mi: (0, ci),
+                             memory_space=pltpu.VMEM),      # h_im
+                pl.BlockSpec((1, ct), lambda ci, mi: (0, ci),
+                             memory_space=pltpu.VMEM),      # theta
+                pl.BlockSpec((mt, 1), lambda ci, mi: (0, 0),
+                             memory_space=pltpu.VMEM),      # m_ramp
+                pl.BlockSpec((1, ct), lambda ci, mi: (mi, ci),
+                             memory_space=pltpu.VMEM),      # phi0
+                pl.BlockSpec((1, ct), lambda ci, mi: (0, ci),
+                             memory_space=pltpu.VMEM),      # prev_re
+                pl.BlockSpec((1, ct), lambda ci, mi: (0, ci),
+                             memory_space=pltpu.VMEM),      # prev_im
+                pl.BlockSpec((ka - 1, ct), lambda ci, mi: (0, ci),
+                             memory_space=pltpu.VMEM),      # ftail_in
+                pl.BlockSpec((mt // da, mt + ka - 1),
+                             lambda ci, mi: (0, 0),
+                             memory_space=pltpu.VMEM),      # bt
+            ],
+            out_specs=[
+                pl.BlockSpec((mt // da, ct), lambda ci, mi: (mi, ci),
+                             memory_space=pltpu.VMEM),      # audio
+                pl.BlockSpec((1, ct), lambda ci, mi: (0, ci),
+                             memory_space=pltpu.VMEM),      # last_re
+                pl.BlockSpec((1, ct), lambda ci, mi: (0, ci),
+                             memory_space=pltpu.VMEM),      # last_im
+                pl.BlockSpec((ka - 1, ct), lambda ci, mi: (0, ci),
+                             memory_space=pltpu.VMEM),      # ftail_out
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((2, ct), jnp.float32),            # prev rows
+                pltpu.VMEM((mt + ka - 1, ct), jnp.float32),  # f ext
+            ],
+        )
+        c = cfg.n_channels
+        call = pl.pallas_call(
+            partial(_kernel2, mt=mt, ka=ka,
+                    m_tiles=m_tiles, quad_gain=cfg.quad_gain),
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((cfg.audio_out, c), jnp.float32),
+                jax.ShapeDtypeStruct((1, c), jnp.float32),
+                jax.ShapeDtypeStruct((1, c), jnp.float32),
+                jax.ShapeDtypeStruct((ka - 1, c), jnp.float32),
+            ],
+            interpret=self.interpret,
+        )
+        return jax.jit(call)
+
+    def feed(self, x: np.ndarray) -> np.ndarray:
+        from sigdigger_tpu.native import frame_windows
+
+        cfg = self.cfg
+        ext = np.concatenate([self._history,
+                              np.asarray(x, np.complex64)])
+        xw_re, xw_im = frame_windows(ext, cfg.block_out, cfg.taps,
+                                     cfg.decimation)
+        self._history = ext[-(cfg.taps - 1):].copy()
+        phi0 = self._phi_tiles()
+        audio, last_re, last_im, ftail = self._call(
+            xw_re, xw_im, self.consts["h_re"], self.consts["h_im"],
+            self.consts["theta"], self.consts["m_ramp"], phi0,
+            np.ascontiguousarray(self._prev.real).astype(np.float32),
+            np.ascontiguousarray(self._prev.imag).astype(np.float32),
+            self._ftail, self.consts["bt"],
+        )
+        self._prev = np.asarray(last_re) + 1j * np.asarray(last_im)
+        self._ftail = np.asarray(ftail)
+        self._phi = self._phi + self._theta64[None, :] * cfg.block_out
+        return np.asarray(audio)
+
+    def _phi_tiles(self) -> np.ndarray:
+        """Per-time-tile start phases [m_tiles, C] in float32, computed
+        in float64 so large blocks keep trig precision."""
+        cfg = self.cfg
+        m_tiles = cfg.block_out // cfg.m_tile
+        mi = np.arange(m_tiles, dtype=np.float64)[:, None]
+        return np.mod(self._phi + mi * cfg.m_tile *
+                      self._theta64[None, :], _TWO_PI).astype(np.float32)
+
+    def feed_device(self, xw_re, xw_im, phi0, prev_re, prev_im, ftail):
+        return self._call(
+            xw_re, xw_im, self.consts["h_re"], self.consts["h_im"],
+            self.consts["theta"], self.consts["m_ramp"], phi0,
+            prev_re, prev_im, ftail, self.consts["bt"],
+        )
+
+
+def _as_v1_cfg(cfg: MatChannelizer2Config):
+    from sigdigger_tpu.kernels.channelizer import MatChannelizerConfig
+
+    return MatChannelizerConfig(
+        sample_rate=cfg.sample_rate, n_channels=cfg.n_channels,
+        taps=cfg.taps, decimation=cfg.decimation,
+        audio_taps=cfg.audio_taps, audio_decim=cfg.audio_decim,
+        block_out=cfg.block_out, channel_tile=cfg.channel_tile,
+        quad_gain=cfg.quad_gain,
+    )

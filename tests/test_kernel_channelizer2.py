@@ -1,0 +1,72 @@
+"""2-D-tiled fused channelizer v2 (interpret mode)."""
+
+import numpy as np
+
+from sigdigger_tpu.kernels.channelizer2 import (
+    MatChannelizer2,
+    MatChannelizer2Config,
+)
+
+
+def cfg2(block_out=1024, m_tile=256):
+    return MatChannelizer2Config(
+        sample_rate=256_000.0, n_channels=8, taps=32, decimation=8,
+        audio_taps=16, audio_decim=4, block_out=block_out,
+        m_tile=m_tile, channel_tile=8,
+    )
+
+
+def test_v2_demodulates_fm():
+    cfg = cfg2()
+    f0s = np.linspace(-100e3, 90e3, 8)
+    mc = MatChannelizer2(cfg, f0s, bw=8e3, interpret=True)
+    n = cfg.block_in * 3
+    t = np.arange(n) / cfg.sample_rate
+    fm, dev = 200.0, 2000.0
+    msg = np.sin(2 * np.pi * fm * t)
+    phase = 2 * np.pi * f0s[5] * t + \
+        2 * np.pi * dev * np.cumsum(msg) / cfg.sample_rate
+    x = np.exp(1j * phase).astype(np.complex64)
+    audio = np.concatenate(
+        [mc.feed(x[i * cfg.block_in:(i + 1) * cfg.block_in])
+         for i in range(3)], axis=0)[:, 5]
+    a = audio[cfg.audio_out:]
+    rate = cfg.channel_rate / cfg.audio_decim
+    spec = np.abs(np.fft.rfft(a * np.hanning(len(a))))
+    f_pk = (np.argmax(spec[2:]) + 2) * rate / len(a)
+    assert abs(f_pk - fm) < 30.0
+
+
+def test_v2_tiling_invariance():
+    """m_tile must not change results: (1024, 256) == (1024, 1024)."""
+    f0s = np.linspace(-100e3, 90e3, 8)
+    rng = np.random.default_rng(0)
+    x = (rng.standard_normal(8192 * 2) +
+         1j * rng.standard_normal(8192 * 2)).astype(np.complex64)
+
+    a_tiled = MatChannelizer2(cfg2(1024, 256), f0s, 8e3, interpret=True)
+    b_flat = MatChannelizer2(cfg2(1024, 1024), f0s, 8e3, interpret=True)
+    out_a = np.concatenate([a_tiled.feed(x[:8192]),
+                            a_tiled.feed(x[8192:])], axis=0)
+    out_b = np.concatenate([b_flat.feed(x[:8192]),
+                            b_flat.feed(x[8192:])], axis=0)
+    assert np.allclose(out_a, out_b, atol=1e-4)
+
+
+def test_v2_block_split_exact():
+    """v2 carries the audio-FIR tail: block splits are exact."""
+    f0s = np.linspace(-100e3, 90e3, 8)
+    rng = np.random.default_rng(1)
+    x = (rng.standard_normal(8192 * 2) +
+         1j * rng.standard_normal(8192 * 2)).astype(np.complex64)
+    small = MatChannelizer2(cfg2(1024, 256), f0s, 8e3, interpret=True)
+    got = np.concatenate([small.feed(x[:8192]), small.feed(x[8192:])],
+                         axis=0)
+    big = MatChannelizer2(
+        MatChannelizer2Config(
+            sample_rate=256_000.0, n_channels=8, taps=32, decimation=8,
+            audio_taps=16, audio_decim=4, block_out=2048, m_tile=256,
+            channel_tile=8),
+        f0s, 8e3, interpret=True)
+    ref = big.feed(x)
+    assert np.allclose(got, ref, atol=1e-4)
