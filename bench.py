@@ -32,49 +32,46 @@ def bench_tpu() -> tuple[float, dict]:
     import jax
     import jax.numpy as jnp
 
-    from sigdigger_tpu.kernels.channelizer import (
-        MatChannelizer,
-        MatChannelizerConfig,
+    from sigdigger_tpu.kernels.channelizer2 import (
+        MatChannelizer2,
+        MatChannelizer2Config,
     )
     from sigdigger_tpu.kernels.fft import PallasPSD, PallasPSDConfig
     from sigdigger_tpu.types import WindowFunction
 
-    cfg = MatChannelizerConfig(
+    cfg = MatChannelizer2Config(
         sample_rate=102_400_000.0, n_channels=1024, taps=64,
-        decimation=64, audio_taps=64, audio_decim=8, block_out=2048,
-        channel_tile=256,
+        decimation=64, audio_taps=64, audio_decim=8, block_out=8192,
+        m_tile=2048, channel_tile=128,
     )
     f0s = np.linspace(-48e6, 48e6, cfg.n_channels)
-    mc = MatChannelizer(cfg, f0s, bw=800e3, interpret=False)
+    mc = MatChannelizer2(cfg, f0s, bw=800e3, interpret=False)
 
     # frames_per_program = all frames: one PSD program per block measures
-    # faster in-chain than a grid of 4 (less per-program scheduling)
+    # faster in-chain than a finer grid (less per-program scheduling)
     psd_cfg = PallasPSDConfig(fft_size=4096,
                               frames_per_block=cfg.block_in // 4096,
                               frames_per_program=cfg.block_in // 4096)
     psd = PallasPSD(psd_cfg, cfg.sample_rate,
                     WindowFunction.BLACKMANN_HARRIS, interpret=False)
 
-    # each unrolled pallas_call instance compiles separately through the
-    # remote toolchain (~40 s each); 4 keeps dispatch amortization ≥90%
-    # while bounding compile time
-    unroll = 4
+    # the 2-D-tiled kernel runs the whole 524288-sample block in ONE
+    # dispatch; unroll 2 amortizes the residual per-call cost (each
+    # unrolled instance compiles separately via the remote toolchain)
+    unroll = 2
+    m_tiles = cfg.block_out // cfg.m_tile
 
-    def chain(xw_res, xw_ims, fr_res, fr_ims, phi0, prev_re, prev_im):
+    def chain(xw_res, xw_ims, fr_res, fr_ims, phi0, prev_re, prev_im,
+              ftail):
         acc = None
         psd_acc = None
         for i in range(unroll):
-            audio, prev_re, prev_im = mc._call(
-                xw_res[i], xw_ims[i], mc.consts["h_re"],
-                mc.consts["h_im"], mc.consts["theta"],
-                mc.consts["m_ramp"], phi0, prev_re, prev_im,
-                mc.consts["bt"])
+            audio, prev_re, prev_im, ftail = mc.feed_device(
+                xw_res[i], xw_ims[i], phi0, prev_re, prev_im, ftail)
             p = psd._call(fr_res[i], fr_ims[i], *psd._const)
             acc = audio if acc is None else acc + audio
             psd_acc = p if psd_acc is None else psd_acc + p
-        return acc, psd_acc, prev_re, prev_im
-
-    import jax
+        return acc, psd_acc, prev_re, prev_im, ftail
 
     rng = np.random.default_rng(0)
     a, fb = psd_cfg.a, psd_cfg.frames_per_block
@@ -86,24 +83,25 @@ def bench_tpu() -> tuple[float, dict]:
         (unroll, a, fb * psd_cfg.b)).astype(np.float32))
     fr_ims = jnp.asarray(rng.standard_normal(
         (unroll, a, fb * psd_cfg.b)).astype(np.float32))
-    phi0 = jnp.zeros((1, cfg.n_channels), jnp.float32)
+    phi0 = jnp.zeros((m_tiles * 8, cfg.n_channels), jnp.float32)
     prev = jnp.zeros((1, cfg.n_channels), jnp.float32)
+    ftail = jnp.zeros((cfg.audio_taps - 1, cfg.n_channels), jnp.float32)
 
     cj = jax.jit(chain)
-    r = cj(xw_res, xw_ims, fr_res, fr_ims, phi0, prev, prev)
+    r = cj(xw_res, xw_ims, fr_res, fr_ims, phi0, prev, prev, ftail)
     jax.block_until_ready(r)
 
     iters = 20
     t0 = time.perf_counter()
     for _ in range(iters):
-        r = cj(xw_res, xw_ims, fr_res, fr_ims, phi0, r[2], r[3])
+        r = cj(xw_res, xw_ims, fr_res, fr_ims, phi0, r[2], r[3], r[4])
     jax.block_until_ready(r)
     dt = (time.perf_counter() - t0) / (iters * unroll)
     msps = cfg.block_in / dt / 1e6
     return msps, {"channels": cfg.n_channels,
                   "block_in": cfg.block_in,
                   "ms_per_block": dt * 1e3,
-                  "path": "pallas-fused"}
+                  "path": "pallas-fused-v2"}
 
 
 def bench_cpu() -> tuple[float, dict]:

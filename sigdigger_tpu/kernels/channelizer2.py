@@ -88,9 +88,10 @@ def _kernel2(xw_re, xw_im, h_re, h_im, theta, m_ramp, phi0, prev_re,
     yi = jnp.dot(xw_re[:], h_im[:], preferred_element_type=jnp.float32) \
         + jnp.dot(xw_im[:], h_re[:], preferred_element_type=jnp.float32)
 
-    # phi0 row mi already includes the mi*Mt*theta offset (host f64),
-    # keeping the trig arguments small enough for f32 precision
-    ph = phi0[:] + m_ramp[:] * theta[:]
+    # phi0 block row 0 already includes the mi*Mt*theta offset (host
+    # f64), keeping trig arguments small enough for f32 precision (rows
+    # are padded to 8 for the TPU sublane tiling rule)
+    ph = phi0[0:1, :] + m_ramp[:] * theta[:]
     cr = jnp.cos(ph)
     ci = -jnp.sin(ph)
     rr = yr * cr - yi * ci
@@ -179,7 +180,7 @@ class MatChannelizer2:
                              memory_space=pltpu.VMEM),      # theta
                 pl.BlockSpec((mt, 1), lambda ci, mi: (0, 0),
                              memory_space=pltpu.VMEM),      # m_ramp
-                pl.BlockSpec((1, ct), lambda ci, mi: (mi, ci),
+                pl.BlockSpec((8, ct), lambda ci, mi: (mi, ci),
                              memory_space=pltpu.VMEM),      # phi0
                 pl.BlockSpec((1, ct), lambda ci, mi: (0, ci),
                              memory_space=pltpu.VMEM),      # prev_re
@@ -249,8 +250,12 @@ class MatChannelizer2:
         cfg = self.cfg
         m_tiles = cfg.block_out // cfg.m_tile
         mi = np.arange(m_tiles, dtype=np.float64)[:, None]
-        return np.mod(self._phi + mi * cfg.m_tile *
-                      self._theta64[None, :], _TWO_PI).astype(np.float32)
+        tiles = np.mod(self._phi + mi * cfg.m_tile *
+                       self._theta64[None, :], _TWO_PI).astype(np.float32)
+        # pad each tile row to 8 sublanes (TPU block tiling rule)
+        out = np.zeros((m_tiles * 8, cfg.n_channels), np.float32)
+        out[::8] = tiles
+        return out
 
     def feed_device(self, xw_re, xw_im, phi0, prev_re, prev_im, ftail):
         return self._call(
