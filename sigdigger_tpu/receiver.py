@@ -23,6 +23,10 @@ from sigdigger_tpu.kernels.channelizer import (
     MatChannelizer,
     MatChannelizerConfig,
 )
+from sigdigger_tpu.kernels.channelizer2 import (
+    MatChannelizer2,
+    MatChannelizer2Config,
+)
 from sigdigger_tpu.kernels.digital import DigitalKernel, DigitalKernelConfig
 from sigdigger_tpu.kernels.fft import PallasPSD, PallasPSDConfig
 from sigdigger_tpu.kernels.psk import PskKernel, PskKernelConfig
@@ -73,8 +77,16 @@ class KernelReceiver:
             audio_decim=8, block_out=block_out, channel_tile=tile,
         )
         if mode == "fm":
-            self._chan = MatChannelizer(self.cfg, f0s, bw,
-                                        interpret=interpret)
+            # v2 kernel: whole block in one dispatch (time-tiled grid)
+            m_tile = min(2048, block_out)
+            v2 = MatChannelizer2Config(
+                sample_rate=float(sample_rate), n_channels=n_channels,
+                taps=64, decimation=decimation, audio_taps=64,
+                audio_decim=8, block_out=block_out, m_tile=m_tile,
+                channel_tile=tile,
+            )
+            self._chan = MatChannelizer2(v2, f0s, bw,
+                                         interpret=interpret)
             self._rec = None
         else:
             # raw channelizer: quad_gain unused; reuse the fused kernel
