@@ -45,8 +45,24 @@ def bench_wbfm():
     print(line)
 
 
+def _xla_backend_ok(name) -> bool:
+    """The pure-JAX pipeline needs full XLA (complex FFT/scan), which
+    the axon TPU toolchain does not lower — run these on CPU."""
+    import jax
+
+    if jax.default_backend() in ("tpu", "axon"):
+        print(json.dumps({"metric": name, "skipped": True,
+                          "reason": "pure-JAX config; run on CPU "
+                                    "(TPU path is bench.py)"}))
+        return False
+    return True
+
+
 def _pipeline_bench(name, demod, n_channels=256, n_sub=64, extra=None):
     import jax
+
+    if not _xla_backend_ok(f"{name}_throughput"):
+        return
 
     from sigdigger_tpu.pipeline import (
         PipelineConfig,
@@ -98,6 +114,8 @@ def bench_fsk():
 
     from sigdigger_tpu.inspectors import make_inspector
 
+    if not _xla_backend_ok("fsk_chain_throughput"):
+        return
     rate = 64_000.0
     insp = make_inspector("fsk", rate, channels=64)
     insp.set_config({"clock.baud": 4000.0, "clock.type": 1,
@@ -130,6 +148,8 @@ def bench_panoramic():
         make_constants,
     )
 
+    if not _xla_backend_ok("panoramic_1024ch_channelize"):
+        return
     cfg = PipelineConfig(sample_rate=102_400_000.0, fft_size=4096,
                          n_channels=1024, n_sub=64, demod="raw")
     consts = make_constants(
