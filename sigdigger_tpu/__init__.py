@@ -38,6 +38,7 @@ from sigdigger_tpu.types import (
     WindowFunction,
 )
 from sigdigger_tpu.config import Config, ConfigSchema
+from sigdigger_tpu.profiles import SourceProfile
 
 __all__ = [
     "__version__",
@@ -45,7 +46,28 @@ __all__ = [
     "AnalyzerParams",
     "Channel",
     "SampleFormat",
+    "SourceProfile",
     "WindowFunction",
     "Config",
     "ConfigSchema",
+    "Analyzer",
+    "KernelReceiver",
+    "Library",
 ]
+
+
+def __getattr__(name):
+    # heavy imports resolved lazily so `import sigdigger_tpu` stays light
+    if name == "Analyzer":
+        from sigdigger_tpu.analyzer import Analyzer
+
+        return Analyzer
+    if name == "KernelReceiver":
+        from sigdigger_tpu.receiver import KernelReceiver
+
+        return KernelReceiver
+    if name == "Library":
+        from sigdigger_tpu.library import Library
+
+        return Library
+    raise AttributeError(name)
