@@ -1,0 +1,241 @@
+"""AudioBank kernel: all five audio demod modes, squelch, AGC, DC
+blocker, streaming exactness (interpret mode on CPU; the identical
+program compiles on TPU).
+
+Mirrors the reference audio inspector contract
+(Default/Audio/AudioProcessor.cpp:251-269, SigDiggerHelpers.h:39-45):
+AM/FM/USB/LSB/RAW with squelch + volume, per-channel configuration.
+"""
+
+import numpy as np
+import pytest
+
+from sigdigger_tpu.kernels.audio import (
+    MODE_AM,
+    MODE_FM,
+    MODE_LSB,
+    MODE_RAW,
+    MODE_USB,
+    AudioBank,
+    AudioBankConfig,
+)
+
+FS = 256_000.0
+
+
+def make_bank(**kw) -> AudioBank:
+    cfg = AudioBankConfig(
+        sample_rate=FS, n_channels=128, taps=64, decimation=16,
+        audio_taps=64, audio_decim=8, block_out=512, m_tile=256,
+        channel_tile=128, **kw,
+    )
+    return AudioBank(cfg, interpret=True)
+
+
+def tone_snr(audio: np.ndarray, f_tone: float, rate: float,
+             skip: int = 256) -> float:
+    """Output SNR of a single recovered tone via coherent fit."""
+    a = np.asarray(audio, np.float64)[skip:]
+    a = a - a.mean()
+    t = np.arange(skip, skip + len(a)) / rate
+    s, c = np.sin(2 * np.pi * f_tone * t), np.cos(2 * np.pi * f_tone * t)
+    fit = 2 * np.mean(a * s) * s + 2 * np.mean(a * c) * c
+    p_sig = np.mean(fit ** 2)
+    p_noise = np.mean((a - fit) ** 2)
+    return 10 * np.log10(p_sig / max(p_noise, 1e-30))
+
+
+def run_blocks(bank: AudioBank, x: np.ndarray) -> np.ndarray:
+    bi = bank.cfg.block_in
+    outs = [bank.feed(x[i:i + bi]) for i in range(0, len(x) - bi + 1, bi)]
+    return np.concatenate(outs, axis=0)
+
+
+def test_am_envelope_tone():
+    """AM channel recovers a 300 Hz modulating tone with the carrier DC
+    removed by the Toeplitz DC blocker."""
+    bank = make_bank()
+    f0, fa = 50e3, 300.0
+    bank.configure_channel(0, f0=f0, bw=4e3, mode=MODE_AM,
+                           cutoff=1e3, volume=1.0)
+    n = bank.cfg.block_in * 48
+    t = np.arange(n) / FS
+    x = ((1.0 + 0.5 * np.cos(2 * np.pi * fa * t))
+         * np.exp(2j * np.pi * f0 * t)).astype(np.complex64)
+    audio = run_blocks(bank, x)[:, 0]
+    # skip the DC-follower acquisition transient (τ ≈ 250 audio samples)
+    assert tone_snr(audio, fa, bank.cfg.audio_rate, skip=1536) > 20.0
+    assert abs(np.mean(audio[1536:])) < 0.05 * np.std(audio[1536:])
+
+
+def test_fm_discriminator_tone():
+    bank = make_bank()
+    f0, fa, dev = -60e3, 200.0, 2e3
+    bank.configure_channel(3, f0=f0, bw=6e3, mode=MODE_FM, volume=1.0)
+    n = bank.cfg.block_in * 24
+    t = np.arange(n) / FS
+    msg = np.sin(2 * np.pi * fa * t)
+    x = np.exp(1j * (2 * np.pi * f0 * t
+                     + 2 * np.pi * dev * np.cumsum(msg) / FS)
+               ).astype(np.complex64)
+    audio = run_blocks(bank, x)[:, 3]
+    assert tone_snr(audio, fa, bank.cfg.audio_rate) > 25.0
+
+
+@pytest.mark.parametrize("mode,sign", [(MODE_USB, +1.0), (MODE_LSB, -1.0)])
+def test_ssb_product_detector(mode, sign):
+    """A tone ``fa`` into the selected sideband comes out at ``fa``;
+    a tone in the REJECTED sideband is suppressed by the channel filter."""
+    bank = make_bank()
+    f0, fa, cutoff = 30e3, 240.0, 1000.0
+    bank.configure_channel(7, f0=f0, mode=mode, cutoff=cutoff, volume=1.0)
+    n = bank.cfg.block_in * 24
+    t = np.arange(n) / FS
+    x = np.exp(2j * np.pi * (f0 + sign * fa) * t).astype(np.complex64)
+    audio = run_blocks(bank, x)[:, 7]
+    assert tone_snr(audio, fa, bank.cfg.audio_rate) > 20.0
+
+    # opposite sideband rejected
+    bank2 = make_bank()
+    bank2.configure_channel(7, f0=f0, mode=mode, cutoff=cutoff, volume=1.0)
+    x_bad = np.exp(2j * np.pi * (f0 - sign * fa) * t).astype(np.complex64)
+    bad = run_blocks(bank2, x_bad)[:, 7]
+    p_good = np.mean(audio[256:] ** 2)
+    p_bad = np.mean(bad[256:] ** 2)
+    assert p_bad < 0.05 * p_good, (p_bad, p_good)
+
+
+def test_raw_mode_passes_real_part():
+    bank = make_bank()
+    f0 = 10e3
+    bank.configure_channel(1, f0=f0, bw=2e3, mode=MODE_RAW, volume=1.0)
+    n = bank.cfg.block_in * 16
+    t = np.arange(n) / FS
+    fa = 150.0
+    x = np.exp(2j * np.pi * (f0 + fa) * t).astype(np.complex64)
+    audio = run_blocks(bank, x)[:, 1]
+    assert tone_snr(audio, fa, bank.cfg.audio_rate) > 20.0
+
+
+def test_disabled_channel_outputs_zero():
+    bank = make_bank()
+    rng = np.random.default_rng(0)
+    x = (rng.standard_normal(bank.cfg.block_in)
+         + 1j * rng.standard_normal(bank.cfg.block_in)).astype(np.complex64)
+    audio = bank.feed(x)
+    np.testing.assert_array_equal(audio[:, 20], 0.0)
+
+
+def test_squelch_gates_low_power():
+    bank = make_bank()
+    bank.configure_channel(0, f0=20e3, bw=4e3, mode=MODE_FM, volume=1.0,
+                           squelch=True, squelch_level=0.25)
+    n = bank.cfg.block_in * 8
+    t = np.arange(n) / FS
+    strong = np.exp(2j * np.pi * 20e3 * t).astype(np.complex64)
+    weak = (0.05 * strong).astype(np.complex64)
+    a_strong = run_blocks(bank, strong)
+    assert np.any(a_strong[:, 0] != 0.0)
+    assert bank.squelch_open()[0]
+    a_weak = run_blocks(bank, weak)
+    # power EMA decays below level → gate closes
+    assert not bank.squelch_open()[0]
+    np.testing.assert_array_equal(a_weak[-bank.cfg.audio_out:, 0], 0.0)
+
+
+def test_agc_normalizes_level():
+    """Two AM channels at 20 dB different input power produce audio
+    within 1 dB of each other when block AGC is on."""
+    bank = make_bank()
+    fa = 300.0
+    for i, (f0, amp) in enumerate([(30e3, 1.0), (-30e3, 0.1)]):
+        bank.configure_channel(i, f0=f0, bw=4e3, mode=MODE_AM,
+                               cutoff=1e3, volume=1.0, agc=True)
+    n = bank.cfg.block_in * 24
+    t = np.arange(n) / FS
+    msg = 1.0 + 0.5 * np.cos(2 * np.pi * fa * t)
+    x = (1.0 * msg * np.exp(2j * np.pi * 30e3 * t)
+         + 0.1 * msg * np.exp(-2j * np.pi * 30e3 * t)).astype(np.complex64)
+    audio = run_blocks(bank, x)
+    p0 = np.mean(audio[512:, 0] ** 2)
+    p1 = np.mean(audio[512:, 1] ** 2)
+    assert abs(10 * np.log10(p0 / p1)) < 1.0
+
+
+def test_streaming_equals_large_block():
+    """Feeding 2×512-sample blocks equals one 1024-sample block with the
+    same time tiling (state carry across blocks and tiles is exact)."""
+    rng = np.random.default_rng(7)
+    n = 1024 * 16 * 2
+    x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)
+         ).astype(np.complex64) * 0.5
+
+    def configure(bank):
+        bank.configure_channel(0, f0=40e3, bw=4e3, mode=MODE_FM,
+                               volume=1.0)
+        bank.configure_channel(1, f0=-25e3, bw=4e3, mode=MODE_AM,
+                               cutoff=1e3, volume=1.0)
+        bank.configure_channel(2, f0=10e3, mode=MODE_USB, cutoff=1e3,
+                               volume=1.0)
+
+    small = make_bank()
+    configure(small)
+    a_small = run_blocks(small, x)
+
+    big_cfg = AudioBankConfig(
+        sample_rate=FS, n_channels=128, taps=64, decimation=16,
+        audio_taps=64, audio_decim=8, block_out=1024, m_tile=256,
+        channel_tile=128,
+    )
+    big = AudioBank(big_cfg, interpret=True)
+    configure(big)
+    a_big = run_blocks(big, x)
+    np.testing.assert_allclose(a_small[:, :3], a_big[:, :3],
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_fm_matches_channelizer2():
+    """With every channel in FM mode (vol 1, no AGC/squelch/DC), the
+    bank reproduces kernels/channelizer2.py followed by the per-channel
+    audio-cutoff FIR — no regression on the round-1 flagship path."""
+    from sigdigger_tpu.kernels.channelizer2 import (
+        MatChannelizer2,
+        MatChannelizer2Config,
+    )
+
+    c = 128
+    f0s = np.linspace(-100e3, 100e3, c)
+    bw = 4e3
+    bank = make_bank()
+    for i, f0 in enumerate(f0s):
+        bank.configure_channel(i, f0=f0, bw=bw, mode=MODE_FM, volume=1.0)
+
+    v2 = MatChannelizer2(MatChannelizer2Config(
+        sample_rate=FS, n_channels=c, taps=64, decimation=16,
+        audio_taps=64, audio_decim=8, block_out=512, m_tile=256,
+        channel_tile=128,
+    ), f0s, bw=bw, interpret=True)
+
+    rng = np.random.default_rng(3)
+    n = bank.cfg.block_in * 4
+    x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)
+         ).astype(np.complex64)
+    a_bank = run_blocks(bank, x)
+    b_v2 = np.concatenate(
+        [v2.feed(x[i:i + v2.cfg.block_in])
+         for i in range(0, n, v2.cfg.block_in)], axis=0)
+    # the bank additionally applies the causal per-channel audio FIR
+    taps2 = np.asarray(bank._taps2, np.float64)
+    for ch in range(0, c, 17):
+        ref = np.convolve(b_v2[:, ch], taps2[:, ch])[:b_v2.shape[0]]
+        np.testing.assert_allclose(a_bank[:, ch], ref,
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_retune_is_constant_update_only():
+    """configure_channel never rebuilds the compiled kernel."""
+    bank = make_bank()
+    call_before = bank._call
+    bank.configure_channel(5, f0=12e3, mode=MODE_AM, volume=0.7)
+    bank.configure_channel(5, f0=-12e3)
+    assert bank._call is call_before
