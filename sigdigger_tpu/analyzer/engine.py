@@ -66,8 +66,8 @@ class _InspectorSlot:
     handle: int
     inspector_id: int
     class_name: str
-    inspector: Inspector
-    chan_handle: int            # channelizer handle
+    inspector: Inspector | None   # None on the kernel path
+    chan_handle: int            # channelizer handle / bank slot index
     equiv_rate: float
     bandwidth: float
     lo: float
@@ -109,12 +109,8 @@ class Analyzer:
                 f"block_size {self.block_size} not a multiple of window {w}"
             )
 
-        self._spectrum = SpectrumEstimator(
-            w, rate, self.params.window_function,
-            self.params.spectrum_avg_alpha,
-        )
-        self._channelizer = Channelizer(rate, fft_size=w)
         self._detector = ChannelDetector(self.params, rate, w)
+        self._build_dsp()
 
         # wide-spectrum (sweep) mode: the engine hops a tunable source
         # across [min_freq, max_freq] (reference AnalyzerParams mode +
@@ -150,6 +146,35 @@ class Analyzer:
         self._bb_filters: list = []
 
         self.emit_source_info()
+
+    # ------------------------------------------------------------------
+    # DSP strategy hooks — the kernel-path engine (analyzer/
+    # kernel_engine.py KernelAnalyzer) overrides these to run the same
+    # session protocol on the Pallas bank kernels.
+    # ------------------------------------------------------------------
+    def _build_dsp(self) -> None:
+        """Construct the spectrum estimator and channel machinery."""
+        self._spectrum = SpectrumEstimator(
+            self.params.window_size, self.source.sample_rate,
+            self.params.window_function, self.params.spectrum_avg_alpha,
+        )
+        self._channelizer = Channelizer(
+            self.source.sample_rate, fft_size=self.params.window_size)
+
+    def _compute_block(self, x: np.ndarray) -> list:
+        """Channelize + run every inspector chain over one block.
+        Returns [(slot, samples, extras, raw_baseband), ...]."""
+        outputs = self._channelizer.feed(x)
+        sample_msgs = []
+        for slot in self._inspectors.values():
+            y = outputs.get(slot.chan_handle)
+            if y is None:
+                continue
+            result = slot.inspector.process(y[None, :])
+            samples = np.asarray(result.pop("samples"))[0]
+            extras = {k: np.asarray(v)[0] for k, v in result.items()}
+            sample_msgs.append((slot, samples, extras, np.asarray(y)))
+        return sample_msgs
 
     def install_baseband_filter(self, fn) -> None:
         """Register ``fn(samples: np.ndarray) -> None`` on the raw
@@ -459,18 +484,8 @@ class Analyzer:
 
             if self._t_start is None:
                 self._t_start = time.monotonic()
-            psd = self._spectrum.feed(x)
-            outputs = self._channelizer.feed(x)
-
-            sample_msgs = []
-            for slot in self._inspectors.values():
-                y = outputs.get(slot.chan_handle)
-                if y is None:
-                    continue
-                result = slot.inspector.process(y[None, :])
-                samples = np.asarray(result.pop("samples"))[0]
-                extras = {k: np.asarray(v)[0] for k, v in result.items()}
-                sample_msgs.append((slot, samples, extras, np.asarray(y)))
+            self._spectrum.feed(x)
+            sample_msgs = self._compute_block(x)
 
         # emit outside the lock
         self._blocks += 1

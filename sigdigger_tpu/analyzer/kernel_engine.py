@@ -1,0 +1,442 @@
+"""KernelAnalyzer — the dynamic analyzer engine on the Pallas TPU path.
+
+The round-1 analyzer (`analyzer/engine.py`) is feature-complete but its
+hot path is pure JAX (XLA FFT + per-slot channels=1 inspector calls),
+which the minimal axon TPU toolchain cannot execute.  This subclass
+runs the SAME session protocol — message taxonomy, async inspector
+acks, config-key contract (reference Suscan/Analyzer.cpp:111-623) — on
+the Pallas bank kernels, so the full-featured dynamic analyzer executes
+on the target hardware:
+
+- spectrum path → `kernels/fft.py` PallasPSD (Bailey DFT-matmul);
+- channel extraction → `kernels/rawbank.py` RawBank (the universal
+  per-slot tap: "raw" streams, "power" integration, estimators and
+  per-inspector spectrum sources, and the recovery bank's input);
+- "audio" inspectors → `kernels/audio.py` AudioBank (AM/FM/USB/LSB/RAW
+  + squelch/AGC/cutoff/volume);
+- "psk"/"fsk"/"ask" inspectors → `kernels/recovery.py` RecoveryBank
+  (per-channel kind/order/baud/loop parameters).
+
+Dynamic open/retune/close without recompile (SURVEY.md §7): every
+inspector takes a pre-allocated slot index shared across the banks;
+opening rewrites that slot's device-resident constant columns, closing
+masks it.  The compiled kernels never change — asserted by tests.
+
+Deviations from the generic engine, by design:
+- every slot shares one analyzer-wide decimation (the bank's), so
+  equiv_rate = sample_rate / decimation for all inspectors (the
+  generic engine picks a per-channel power of two);
+- audio AGC is the bank's block AGC (power-EMA rsqrt), not the
+  hang-AGC follower;
+- host-side audio resampling to `audio.sample-rate` is linear-
+  interpolation (numpy), since XLA ops are unavailable on axon.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+
+from sigdigger_tpu.analyzer.engine import Analyzer, _InspectorSlot
+from sigdigger_tpu.analyzer.messages import (
+    InspectorMessage,
+    InspectorMessageKind,
+)
+from sigdigger_tpu.config import INSPECTOR_SCHEMAS, Config
+from sigdigger_tpu.kernels.audio import AudioBank, AudioBankConfig
+from sigdigger_tpu.kernels.fft import PallasPSD, PallasPSDConfig
+from sigdigger_tpu.kernels.rawbank import RawBank, RawBankConfig
+from sigdigger_tpu.kernels.recovery import (
+    KIND_ASK,
+    KIND_FSK,
+    KIND_PSK,
+    RecoveryBank,
+    RecoveryBankConfig,
+)
+from sigdigger_tpu.types import Channel
+
+_DIGITAL = {"psk": KIND_PSK, "fsk": KIND_FSK, "ask": KIND_ASK}
+
+
+def _largest_divisor(n: int, limit: int) -> int:
+    d = min(n, limit)
+    while n % d:
+        d -= 1
+    return d
+
+
+def _decide_phase(syms: np.ndarray, bits: int) -> np.ndarray:
+    levels = 1 << bits
+    sector = np.round(np.angle(syms) * levels / (2.0 * np.pi))
+    return np.mod(sector, levels).astype(np.uint8)
+
+
+def _decide_interval(v: np.ndarray, lo: float, hi: float,
+                     bits: int) -> np.ndarray:
+    levels = 1 << bits
+    idx = np.floor((v - lo) / (hi - lo) * levels)
+    return np.clip(idx, 0, levels - 1).astype(np.uint8)
+
+
+def _decide_frequency(v: np.ndarray, bits: int) -> np.ndarray:
+    span = max(float(np.max(np.abs(v))) if v.size else 0.0, 1e-12)
+    return _decide_interval(v, -span * (1 + 1e-6), span * (1 + 1e-6),
+                            bits)
+
+
+def _decide_amplitude(v: np.ndarray, bits: int) -> np.ndarray:
+    vmax = max(float(np.max(v)) if v.size else 0.0, 1e-12)
+    levels = 1 << bits
+    idx = np.round(v / vmax * (levels - 1))
+    return np.clip(idx, 0, levels - 1).astype(np.uint8)
+
+
+class _HostResampler:
+    """Streaming linear-interpolation rate converter (numpy; the audio
+    tail of the TPU path must not touch XLA)."""
+
+    def __init__(self, rate_in: float, rate_out: float) -> None:
+        self.ratio = float(rate_in) / float(rate_out)
+        self._pos = 0.0
+        self._last = 0.0
+
+    def __call__(self, x: np.ndarray) -> np.ndarray:
+        if not len(x):
+            return x
+        ext = np.concatenate([[self._last], np.asarray(x, np.float64)])
+        # output sample k sits at input position _pos + k*ratio (in ext
+        # coordinates, +1 for the carried sample)
+        n_out = int(np.floor((len(ext) - 1 - self._pos) / self.ratio))
+        if n_out <= 0:
+            self._pos -= len(x)
+            self._last = x[-1]
+            return np.zeros(0, np.float32)
+        pos = self._pos + np.arange(n_out) * self.ratio
+        out = np.interp(pos, np.arange(len(ext)) - 1.0, ext)
+        self._pos = self._pos + n_out * self.ratio - len(x)
+        self._last = x[-1]
+        return out.astype(np.float32)
+
+
+class _KernelSlotExtra:
+    """Per-inspector host-side bits the banks don't hold."""
+
+    def __init__(self, idx: int, config: Config) -> None:
+        self.idx = idx
+        self.config = config
+        self.resampler: _HostResampler | None = None
+        self.pw_acc = 0.0
+        self.pw_cnt = 0
+
+
+class KernelAnalyzer(Analyzer):
+    """Analyzer running its hot path entirely on Pallas kernels.
+
+    ``n_slots`` pre-allocated inspector slots; ``decimation`` sets the
+    single channel rate (equiv_rate = fs / decimation).
+    """
+
+    def __init__(self, profile=None, params=None, source=None,
+                 block_size: int | None = None, n_slots: int = 128,
+                 decimation: int = 64, audio_decim: int = 8,
+                 interpret: bool | None = None) -> None:
+        self._n_slots = int(n_slots)
+        self._decimation = int(decimation)
+        self._audio_decim = int(audio_decim)
+        self._interpret = interpret
+        super().__init__(profile=profile, params=params, source=source,
+                         block_size=block_size)
+
+    # ------------------------------------------------------------------
+    # DSP construction
+    # ------------------------------------------------------------------
+    def _build_dsp(self) -> None:
+        rate = self.source.sample_rate
+        w = self.params.window_size
+        d = self._decimation
+        if self.block_size % (d * self._audio_decim):
+            raise ValueError(
+                f"block_size {self.block_size} must be a multiple of "
+                f"decimation*audio_decim = {d * self._audio_decim}")
+        block_out = self.block_size // d
+        m_tile = _largest_divisor(block_out, 2048)
+        if m_tile % self._audio_decim:
+            raise ValueError(
+                f"derived m_tile {m_tile} not a multiple of audio "
+                f"decimation {self._audio_decim}")
+        tile = 128 if self._n_slots % 128 == 0 else self._n_slots
+
+        frames = self.block_size // w
+        self._spectrum = PallasPSD(
+            PallasPSDConfig(fft_size=w, frames_per_block=frames,
+                            frames_per_program=_largest_divisor(frames, 8)),
+            rate, self.params.window_function,
+            alpha=self.params.spectrum_avg_alpha,
+            interpret=self._interpret,
+        )
+        self._audio_bank = AudioBank(AudioBankConfig(
+            sample_rate=rate, n_channels=self._n_slots,
+            decimation=d, audio_decim=self._audio_decim,
+            block_out=block_out, m_tile=m_tile, channel_tile=tile,
+            enable_ssb=True,
+        ), interpret=self._interpret)
+        self._raw_bank = RawBank(RawBankConfig(
+            sample_rate=rate, n_channels=self._n_slots, decimation=d,
+            block_out=block_out, m_tile=m_tile, channel_tile=tile,
+        ), interpret=self._interpret)
+        self._rec_bank = RecoveryBank(RecoveryBankConfig(
+            n_channels=self._n_slots, block_len=block_out,
+            channel_tile=tile,
+        ), interpret=self._interpret)
+        self._channelizer = None          # base machinery unused
+        self._kslots: dict[int, _KernelSlotExtra] = {}
+        self._free_slots = list(range(self._n_slots - 1, -1, -1))
+
+    @property
+    def channel_rate(self) -> float:
+        return self._raw_bank.cfg.channel_rate
+
+    @property
+    def audio_rate(self) -> float:
+        return self._audio_bank.cfg.audio_rate
+
+    # ------------------------------------------------------------------
+    # inspector lifecycle (same ack protocol as the base engine)
+    # ------------------------------------------------------------------
+    def open_inspector(self, class_name: str, channel: Channel,
+                       request_id: int = 0,
+                       config: dict[str, Any] | None = None) -> int:
+        if class_name not in INSPECTOR_SCHEMAS:
+            self._emit(InspectorMessage(
+                inspector_kind=InspectorMessageKind.WRONG_KIND,
+                request_id=request_id, class_name=class_name))
+            raise ValueError(f"unknown inspector class {class_name!r}")
+        with self._lock:
+            if not self._free_slots:
+                self._emit(InspectorMessage(
+                    inspector_kind=InspectorMessageKind.WRONG_OBJECT,
+                    request_id=request_id, class_name=class_name))
+                raise RuntimeError(
+                    f"all {self._n_slots} kernel slots in use")
+            bw = channel.bw or (channel.f_high - channel.f_low)
+            bw = max(bw, self.sample_rate /
+                     self.params.window_size * 8)
+            if class_name == "audio":
+                bw = min(bw, self.sample_rate / 2.0, 200e3)
+            idx = self._free_slots.pop()
+            cfgobj = Config(INSPECTOR_SCHEMAS[class_name])
+            if config:
+                cfgobj.update(config)
+            equiv_rate = self.channel_rate
+
+            self._raw_bank.configure_channel(
+                idx, f0=channel.fc, bw=bw / 2.0, reset_state=True)
+            handle = self._next_handle
+            self._next_handle += 1
+            slot = _InspectorSlot(
+                handle=handle, inspector_id=handle,
+                class_name=class_name, inspector=None, chan_handle=idx,
+                equiv_rate=equiv_rate, bandwidth=bw, lo=channel.fc,
+                estimators=set(),
+            )
+            ks = _KernelSlotExtra(idx, cfgobj)
+            self._inspectors[handle] = slot
+            self._by_id[handle] = handle
+            self._kslots[handle] = ks
+            self._apply_config(slot, ks, reset_state=True)
+        self._emit(InspectorMessage(
+            inspector_kind=InspectorMessageKind.OPEN,
+            request_id=request_id, handle=handle, inspector_id=handle,
+            class_name=class_name, config=cfgobj.copy(),
+            equiv_rate=equiv_rate, bandwidth=bw, lo=channel.fc,
+        ))
+        return handle
+
+    def _apply_config(self, slot: _InspectorSlot, ks: _KernelSlotExtra,
+                      reset_state: bool = False) -> None:
+        c = ks.config
+        name = slot.class_name
+        if name == "audio":
+            cutoff = min(float(c["audio.cutoff"]),
+                         0.9 * self.audio_rate)
+            self._audio_bank.configure_channel(
+                ks.idx, f0=slot.lo, bw=slot.bandwidth / 2.0,
+                mode=int(c["audio.demodulator"]), cutoff=cutoff,
+                volume=float(c["audio.volume"]),
+                squelch=bool(c["audio.squelch"]),
+                squelch_level=float(c["audio.squelch-level"]),
+                agc=bool(c["agc.enabled"]), reset_state=reset_state)
+            target = float(c["audio.sample-rate"])
+            ks.resampler = (_HostResampler(self.audio_rate, target)
+                            if abs(target - self.audio_rate) > 1e-6
+                            else None)
+        elif name in _DIGITAL:
+            if name == "psk":
+                bps = max(1, int(c["afc.bits-per-symbol"]))
+                order = int(c["afc.costas-order"])
+                if order not in (2, 4, 8):
+                    order = min(1 << bps, 8)
+                loop_bw = float(c["afc.loop-bw"])
+            else:
+                order = 2
+                loop_bw = (float(c["ask.loop-bw"]) if name == "ask"
+                           else 0.01)
+            baud = max(float(c["clock.baud"]), 1e-3)
+            sps = max(2.0, self.channel_rate / baud)
+            self._rec_bank.configure_channel(
+                ks.idx, kind=_DIGITAL[name], sps=sps, order=order,
+                loop_bw=loop_bw,
+                clock_gain=float(c["clock.gain"]),
+                mf_rolloff=float(c["mf.roll-off"]),
+                use_mf=int(c["mf.type"]) == 1,
+                reset_state=reset_state)
+
+    def set_inspector_config(self, handle: int, config: dict[str, Any],
+                             request_id: int = 0) -> None:
+        slot = self._slot(handle, request_id)
+        if slot is None:
+            return
+        with self._lock:
+            ks = self._kslots[handle]
+            ks.config.update(config)
+            self._apply_config(slot, ks)
+        self._emit(InspectorMessage(
+            inspector_kind=InspectorMessageKind.SET_CONFIG,
+            request_id=request_id, handle=handle,
+            inspector_id=slot.inspector_id, class_name=slot.class_name,
+            config=ks.config.copy(),
+        ))
+
+    def set_inspector_freq(self, handle: int, freq: float,
+                           request_id: int = 0) -> None:
+        slot = self._slot(handle, request_id)
+        if slot is None:
+            return
+        with self._lock:
+            ks = self._kslots[handle]
+            slot.lo = freq
+            self._raw_bank.configure_channel(ks.idx, f0=freq)
+            if slot.class_name == "audio":
+                self._audio_bank.configure_channel(ks.idx, f0=freq)
+        self._emit(InspectorMessage(
+            inspector_kind=InspectorMessageKind.SET_FREQ,
+            request_id=request_id, handle=handle, lo=freq,
+        ))
+
+    def set_inspector_bandwidth(self, handle: int, bw: float,
+                                request_id: int = 0) -> None:
+        slot = self._slot(handle, request_id)
+        if slot is None:
+            return
+        with self._lock:
+            ks = self._kslots[handle]
+            slot.bandwidth = bw
+            self._raw_bank.configure_channel(ks.idx, bw=bw / 2.0)
+            if slot.class_name == "audio":
+                self._audio_bank.configure_channel(ks.idx, bw=bw / 2.0)
+        self._emit(InspectorMessage(
+            inspector_kind=InspectorMessageKind.SET_BANDWIDTH,
+            request_id=request_id, handle=handle, bandwidth=bw,
+        ))
+
+    def close_inspector(self, handle: int, request_id: int = 0) -> None:
+        slot = self._slot(handle, request_id)
+        if slot is None:
+            return
+        with self._lock:
+            ks = self._kslots.pop(handle)
+            # mask the slot: silence the audio column, then recycle
+            self._audio_bank.configure_channel(ks.idx, mode=0,
+                                               volume=0.0)
+            self._free_slots.append(ks.idx)
+            self._by_id.pop(slot.inspector_id, None)
+            del self._inspectors[handle]
+        self._emit(InspectorMessage(
+            inspector_kind=InspectorMessageKind.CLOSE,
+            request_id=request_id, handle=handle,
+            inspector_id=slot.inspector_id,
+        ))
+
+    # ------------------------------------------------------------------
+    # block compute on the kernel banks
+    # ------------------------------------------------------------------
+    def _compute_block(self, x: np.ndarray) -> list:
+        slots = list(self._inspectors.values())
+        any_audio = any(s.class_name == "audio" for s in slots)
+        any_digital = any(s.class_name in _DIGITAL for s in slots)
+        any_raw = any(
+            s.class_name in ("raw", "power") or s.class_name in _DIGITAL
+            or s.estimators or s.spectrum_source for s in slots)
+
+        frames = self._raw_bank.frame(x)      # single shared framing
+        audio_out = (self._audio_bank.feed_frames(*frames)
+                     if any_audio else None)
+        y_re = y_im = soft = strobe = None
+        if any_raw:
+            y_re, y_im = self._raw_bank.feed_frames(*frames)
+        if any_digital:
+            soft, strobe = self._rec_bank.feed_planes(y_re, y_im)
+
+        msgs = []
+        for slot in slots:
+            ks = self._kslots[slot.handle]
+            idx = ks.idx
+            c = ks.config
+            raw_col = None
+            if y_re is not None:
+                raw_col = (y_re[:, idx] + 1j * y_im[:, idx]).astype(
+                    np.complex64)
+            name = slot.class_name
+            if name == "audio":
+                aud = audio_out[:, idx]
+                if ks.resampler is not None:
+                    aud = ks.resampler(aud)
+                extras = {"squelch_open":
+                          bool(self._audio_bank.squelch_open()[idx])}
+                msgs.append((slot, aud, extras, raw_col))
+            elif name == "raw":
+                if bool(c["agc.enabled"]):
+                    g = 1.0 / np.sqrt(max(
+                        float(self._raw_bank.block_power[idx]), 1e-9))
+                else:
+                    g = float(c["agc.gain"])
+                msgs.append((slot, raw_col * np.float32(g), {}, raw_col))
+            elif name == "power":
+                n_int = max(1, int(c["power.integrate-samples"]))
+                p = (raw_col.real.astype(np.float64) ** 2
+                     + raw_col.imag.astype(np.float64) ** 2)
+                out, pos = [], 0
+                while pos < len(p):
+                    take = min(n_int - ks.pw_cnt, len(p) - pos)
+                    ks.pw_acc += float(p[pos:pos + take].sum())
+                    ks.pw_cnt += take
+                    pos += take
+                    if ks.pw_cnt == n_int:
+                        out.append(np.sqrt(ks.pw_acc / n_int))
+                        ks.pw_acc, ks.pw_cnt = 0.0, 0
+                msgs.append((slot, np.asarray(out, np.float32), {},
+                             raw_col))
+            else:                              # psk / fsk / ask
+                sym = soft[:, idx]
+                st = strobe[:, idx]
+                if name == "psk":
+                    bps = max(1, int(c["afc.bits-per-symbol"]))
+                    ids = _decide_phase(sym, bps)
+                    extras = {"strobes": st, "symbols": ids}
+                    msgs.append((slot, sym, extras, raw_col))
+                elif name == "fsk":
+                    bps = max(1, int(c["fsk.bits-per-symbol"]))
+                    vals = np.real(sym)
+                    ids = _decide_frequency(vals[st], bps) if st.any() \
+                        else np.zeros(0, np.uint8)
+                    extras = {"strobes": st, "symbols": ids}
+                    msgs.append((slot, vals, extras, raw_col))
+                else:
+                    bps = max(1, int(c["ask.bits-per-symbol"]))
+                    vals = np.real(sym)
+                    ids = _decide_amplitude(vals[st], bps) if st.any() \
+                        else np.zeros(0, np.uint8)
+                    extras = {"strobes": st, "symbols": ids}
+                    msgs.append((slot, vals, extras, raw_col))
+        return msgs

@@ -78,6 +78,7 @@ class InspectorMessageKind(enum.Enum):
     ORBIT_REPORT = "orbit_report"
     WRONG_HANDLE = "wrong_handle"
     WRONG_KIND = "wrong_kind"
+    WRONG_OBJECT = "wrong_object"    # no free kernel slot / bad target
 
 
 @dataclass

@@ -591,9 +591,9 @@ class AudioBank:
         out[::8] = tiles
         return out
 
-    def feed(self, x: np.ndarray) -> np.ndarray:
-        """One block of ``cfg.block_in`` IQ samples → audio
-        [audio_out, n_channels] float32 (all modes demodulated)."""
+    def frame(self, x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Host framing with carried history → stride-D window planes
+        (shareable with any bank of the same taps/decimation/block)."""
         from sigdigger_tpu.native import frame_windows
 
         cfg = self.cfg
@@ -601,6 +601,16 @@ class AudioBank:
         xw_re, xw_im = frame_windows(ext, cfg.block_out, cfg.taps,
                                      cfg.decimation)
         self._history = ext[-(cfg.taps - 1):].copy()
+        return xw_re, xw_im
+
+    def feed(self, x: np.ndarray) -> np.ndarray:
+        """One block of ``cfg.block_in`` IQ samples → audio
+        [audio_out, n_channels] float32 (all modes demodulated)."""
+        return self.feed_frames(*self.frame(x))
+
+    def feed_frames(self, xw_re: np.ndarray, xw_im: np.ndarray
+                    ) -> np.ndarray:
+        cfg = self.cfg
         mta = cfg.m_tile // cfg.audio_decim
         out = self._call(
             xw_re, xw_im, self.consts["h_re"], self.consts["h_im"],

@@ -180,6 +180,11 @@ class PallasPSD:
         self._count += 1
         return self.psd.astype(np.float32)
 
+    def reset(self) -> None:
+        """Restart the cross-block EMA (Analyzer wide-spectrum hops)."""
+        self.psd = np.zeros(self.cfg.fft_size, np.float64)
+        self._count = 0
+
     def unpermute(self, out: np.ndarray) -> np.ndarray:
         """(k1, k2) digit layout → natural bin order [N]."""
         return np.ascontiguousarray(out.T).ravel()

@@ -1,0 +1,369 @@
+"""Pallas TPU kernel: the unified PSK/FSK/ASK recovery bank.
+
+One kernel hosts every digital inspector class of the reference engine
+("psk" / "fsk" / "ask", reference Default/Inspection/InspToolWidget.cpp:
+932-950) over a bank of channels, with PER-CHANNEL demod kind, Costas
+order (BPSK/QPSK/8PSK), loop bandwidth, baud (symbol period), clock
+gain and matched-filter taps — all selected by device-resident rows so
+the analyzer can open/retune/reconfigure digital inspectors at runtime
+without recompiling (SURVEY.md §7).
+
+Three passes per grid program, entirely in VMEM (the structure of
+kernels/psk.py and kernels/digital.py, generalized):
+
+  1. front-end `fori_loop` — per channel-lane, simultaneously:
+       Costas derotation with the order-BLENDED phase detector (u²,
+       u⁴, u⁸ are three chained complex squarings; the per-channel
+       one-hot picks the error term; FSK/ASK lanes have zero loop
+       gains so their LO stays at 1+0j and derotation is the identity),
+       FSK quadrature discriminator (prev-sample product + atan2),
+       ASK envelope with one-pole DC tracking.
+     The per-channel kind one-hot routes the result into the complex
+     scratch planes (PSK keeps I/Q; FSK/ASK are real, imag = 0).
+  2. matched filter — static shifted mul-adds with PER-CHANNEL tap
+     rows [K, C] (per-channel roll-off and samples/symbol; `mf.*`
+     config keys, reference Tasks/WaveSampler.cpp:73-78), tails
+     carried in state so block splits are exact.
+  3. Gardner timing recovery — complex, power-normalized TED with
+     per-channel gains and period bounds; dense (symbol, strobe)
+     output planes, compacted on host.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sigdigger_tpu.dsp.filters import rrc_taps
+from sigdigger_tpu.dsp.pll import loop_gains
+from sigdigger_tpu.kernels.ops import atan2
+
+KIND_PSK = 0
+KIND_FSK = 1
+KIND_ASK = 2
+
+
+@dataclass(frozen=True)
+class RecoveryBankConfig:
+    n_channels: int
+    block_len: int               # M channel samples per dispatch
+    mf_taps_max: int = 64        # K: per-channel MF tap budget
+    channel_tile: int = 128
+    dc_alpha: float = 0.9995     # ASK DC follower pole
+
+    def __post_init__(self):
+        assert self.n_channels % self.channel_tile == 0
+
+
+def _recovery_kernel(y_re, y_im, state_in, w_psk, w_fsk, w_ask,
+                     w2, w4, w8, alpha, beta, gp, gf, pmin, pmax, mf,
+                     out_sym_re, out_sym_im, out_strobe, state_out,
+                     scr_re, scr_im,
+                     *, m: int, k: int, dc_alpha: float):
+    # state rows: 0 lo_re, 1 lo_im, 2 freq | 3 qprev_re, 4 qprev_im |
+    # 5 dc | 6 t, 7 period, 8 gprev_re, 9 gprev_im, 10 mid_re,
+    # 11 mid_im, 12 st_re, 13 st_im, 14 want_mid, 15 power |
+    # 16.. MF tails re then im (k-1 rows each)
+    al = alpha[0, :]
+    be = beta[0, :]
+    wp = w_psk[0, :]
+    wf = w_fsk[0, :]
+    wa = w_ask[0, :]
+    o2 = w2[0, :]
+    o4 = w4[0, :]
+    o8 = w8[0, :]
+    adc = jnp.float32(dc_alpha)
+
+    # ----- pass 1: blended front-end --------------------------------------
+    def front_step(i, carry):
+        lo_re, lo_im, freq, qpr, qpi, dc = carry
+        xr = y_re[i, :]
+        xi = y_im[i, :]
+        # Costas derotation (identity for FSK/ASK lanes: LO = 1+0j)
+        rr = xr * lo_re + xi * lo_im
+        ri = xi * lo_re - xr * lo_im
+        mag = jnp.maximum(jnp.sqrt(rr * rr + ri * ri), 1e-12)
+        ur = rr / mag
+        ui = ri / mag
+        u2r = ur * ur - ui * ui
+        u2i = 2.0 * ur * ui
+        u4r = u2r * u2r - u2i * u2i
+        u4i = 2.0 * u2r * u2i
+        u8i = 2.0 * u4r * u4i
+        err = o2 * u2i * 0.5 + o4 * u4i * 0.25 + o8 * u8i * 0.125
+        freq = freq + be * err
+        w = freq + al * err
+        cw = jnp.cos(w)
+        sw = jnp.sin(w)
+        nr = lo_re * cw - lo_im * sw
+        ni = lo_re * sw + lo_im * cw
+        inv = jax.lax.rsqrt(nr * nr + ni * ni)
+        # FSK quadrature discriminator
+        dr = xr * qpr + xi * qpi
+        di = xi * qpr - xr * qpi
+        fv = atan2(di, dr) * jnp.float32(1.0 / np.pi)
+        # ASK envelope with DC tracking (mag == |x| on non-PSK lanes)
+        dc = adc * dc + (1.0 - adc) * mag
+        av = mag - dc
+        scr_re[i + (k - 1), :] = wp * rr + wf * fv + wa * av
+        scr_im[i + (k - 1), :] = wp * ri
+        return nr * inv, ni * inv, freq, xr, xi, dc
+
+    # prefill MF tails from carried state
+    scr_re[0:k - 1, :] = state_in[16:16 + (k - 1), :]
+    scr_im[0:k - 1, :] = state_in[16 + (k - 1):16 + 2 * (k - 1), :]
+
+    carry0 = tuple(state_in[i, :] for i in range(6))
+    lo_re, lo_im, freq, qpr, qpi, dc = jax.lax.fori_loop(
+        0, m, front_step, carry0)
+    new_tail_re = scr_re[m:m + (k - 1), :]
+    new_tail_im = scr_im[m:m + (k - 1), :]
+
+    # ----- pass 2: per-channel matched filter -----------------------------
+    fr = mf[0:1, :] * scr_re[k - 1:k - 1 + m, :]
+    fi = mf[0:1, :] * scr_im[k - 1:k - 1 + m, :]
+    for t in range(1, k):
+        fr = fr + mf[t:t + 1, :] * scr_re[k - 1 - t:k - 1 - t + m, :]
+        fi = fi + mf[t:t + 1, :] * scr_im[k - 1 - t:k - 1 - t + m, :]
+    scr_re[0:m, :] = fr
+    scr_im[0:m, :] = fi
+
+    # ----- pass 3: Gardner (complex, per-channel gains) -------------------
+    gpv = gp[0, :]
+    gfv = gf[0, :]
+    pmn = pmin[0, :]
+    pmx = pmax[0, :]
+
+    def gardner_step(i, carry):
+        (t, period, prev_re, prev_im, mid_re, mid_im, st_re, st_im,
+         want_mid, power) = carry
+        xr = scr_re[i, :]
+        xi = scr_im[i, :]
+        t = t - 1.0
+        event = t <= 0.0
+        frac = jnp.clip(t + 1.0, 0.0, 1.0)
+        ir = prev_re + frac * (xr - prev_re)
+        ii = prev_im + frac * (xi - prev_im)
+
+        is_mid = jnp.logical_and(event, want_mid > 0.5)
+        is_strobe = jnp.logical_and(event, want_mid <= 0.5)
+
+        power = power + 0.01 * (xr * xr + xi * xi - power)
+        nm_re = jnp.where(is_mid, ir, mid_re)
+        nm_im = jnp.where(is_mid, ii, mid_im)
+        err = (ir - st_re) * nm_re + (ii - st_im) * nm_im
+        err = jnp.where(is_strobe, err, 0.0) / jnp.maximum(power, 1e-9)
+        err = jnp.clip(err, -2.0, 2.0)
+
+        period = jnp.clip(period - gfv * err, pmn, pmx)
+        t = t + jnp.where(event, period * 0.5 - gpv * err, 0.0)
+
+        st_re = jnp.where(is_strobe, ir, st_re)
+        st_im = jnp.where(is_strobe, ii, st_im)
+        want_mid = jnp.where(event, 1.0 - want_mid, want_mid)
+        out_sym_re[i, :] = jnp.where(is_strobe, ir, 0.0)
+        out_sym_im[i, :] = jnp.where(is_strobe, ii, 0.0)
+        out_strobe[i, :] = jnp.where(is_strobe, 1.0, 0.0)
+        return (t, period, xr, xi, nm_re, nm_im, st_re, st_im,
+                want_mid, power)
+
+    carry = tuple(state_in[i, :] for i in range(6, 16))
+    carry = jax.lax.fori_loop(0, m, gardner_step, carry)
+
+    state_out[0, :] = lo_re
+    state_out[1, :] = lo_im
+    state_out[2, :] = freq
+    state_out[3, :] = qpr
+    state_out[4, :] = qpi
+    state_out[5, :] = dc
+    for i, v in enumerate(carry):
+        state_out[6 + i, :] = v
+    state_out[16:16 + (k - 1), :] = new_tail_re
+    state_out[16 + (k - 1):16 + 2 * (k - 1), :] = new_tail_im
+
+
+class RecoveryBank:
+    """Batched PSK/FSK/ASK recovery with per-channel configuration."""
+
+    def __init__(self, cfg: RecoveryBankConfig,
+                 interpret: bool | None = None) -> None:
+        self.cfg = cfg
+        if interpret is None:
+            interpret = jax.default_backend() not in ("tpu", "axon")
+        self.interpret = interpret
+        c = cfg.n_channels
+        k = cfg.mf_taps_max
+        self.STATE_ROWS = 16 + 2 * (k - 1)
+
+        # host mirrors
+        self._kind = np.zeros(c, np.int32)
+        self._order = np.full(c, 4, np.int32)
+        self._sps = np.full(c, 8.0, np.float64)
+        self._loop_bw = np.full(c, 0.005, np.float64)
+        self._clock_gain = np.full(c, 0.05, np.float64)
+        self._rolloff = np.full(c, 0.35, np.float64)
+        self._use_mf = np.ones(c, bool)
+        self._mf = np.zeros((k, c), np.float32)
+        self._alpha = np.zeros(c, np.float32)
+        self._beta = np.zeros(c, np.float32)
+        self.state = np.zeros((self.STATE_ROWS, c), np.float32)
+        self._rebuild(np.arange(c), reset_state=True)
+        self._upload()
+        self._call = self._build()
+
+    # ------------------------------------------------------------------
+    def configure_channel(self, i: int, *, kind: int | None = None,
+                          sps: float | None = None,
+                          order: int | None = None,
+                          loop_bw: float | None = None,
+                          clock_gain: float | None = None,
+                          mf_rolloff: float | None = None,
+                          use_mf: bool | None = None,
+                          reset_state: bool = True) -> None:
+        if kind is not None:
+            self._kind[i] = int(kind)
+        if sps is not None:
+            if sps < 2.0:
+                raise ValueError(f"sps must be >= 2, got {sps}")
+            self._sps[i] = float(sps)
+        if order is not None:
+            if order not in (2, 4, 8):
+                raise ValueError(f"costas order must be 2|4|8, got {order}")
+            self._order[i] = int(order)
+        if loop_bw is not None:
+            self._loop_bw[i] = float(loop_bw)
+        if clock_gain is not None:
+            self._clock_gain[i] = float(clock_gain)
+        if mf_rolloff is not None:
+            self._rolloff[i] = float(mf_rolloff)
+        if use_mf is not None:
+            self._use_mf[i] = bool(use_mf)
+        self._rebuild(np.asarray([i]), reset_state=reset_state)
+        self._upload()
+
+    def _rebuild(self, idx: np.ndarray, reset_state: bool) -> None:
+        k = self.cfg.mf_taps_max
+        for i in np.asarray(idx).ravel():
+            a, b = loop_gains(float(self._loop_bw[i]))
+            self._alpha[i] = a
+            self._beta[i] = b
+            taps = np.zeros(k, np.float32)
+            if self._use_mf[i]:
+                sps = float(self._sps[i])
+                span = min(6, max(1, int((k - 1) // sps)))
+                t = rrc_taps(sps, span=span,
+                             rolloff=float(self._rolloff[i]))
+                taps[:len(t)] = t
+            else:
+                taps[0] = 1.0
+            self._mf[:, i] = taps
+            if reset_state:
+                s = np.zeros(self.STATE_ROWS, np.float32)
+                s[0] = 1.0                       # lo_re
+                s[6] = self._sps[i] / 2.0        # t
+                s[7] = self._sps[i]              # period
+                s[14] = 1.0                      # want_mid
+                s[15] = 1.0                      # power
+                self.state[:, i] = s
+
+    def _upload(self) -> None:
+        kind = self._kind
+        order = self._order
+
+        def row(v):
+            return jnp.asarray(np.asarray(v, np.float32)[None, :])
+
+        self.consts = {
+            "w_psk": row(kind == KIND_PSK),
+            "w_fsk": row(kind == KIND_FSK),
+            "w_ask": row(kind == KIND_ASK),
+            "w2": row((kind == KIND_PSK) & (order == 2)),
+            "w4": row((kind == KIND_PSK) & (order == 4)),
+            "w8": row((kind == KIND_PSK) & (order == 8)),
+            "alpha": row(self._alpha),
+            "beta": row(self._beta),
+            "gp": row(self._clock_gain),
+            "gf": row(self._clock_gain ** 2 / 4.0),
+            "pmin": row(self._sps * 0.9),
+            "pmax": row(self._sps * 1.1),
+            "mf": jnp.asarray(self._mf),
+        }
+
+    def _build(self):
+        cfg = self.cfg
+        m, ct, k = cfg.block_len, cfg.channel_tile, cfg.mf_taps_max
+        n_tiles = cfg.n_channels // ct
+
+        def row(_):
+            return pl.BlockSpec((1, ct), lambda i: (0, i),
+                                memory_space=pltpu.VMEM)
+
+        plane = pl.BlockSpec((m, ct), lambda i: (0, i),
+                             memory_space=pltpu.VMEM)
+        grid_spec = pl.GridSpec(
+            grid=(n_tiles,),
+            in_specs=[
+                plane, plane,
+                pl.BlockSpec((self.STATE_ROWS, ct), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                row(0), row(0), row(0),              # w_psk/fsk/ask
+                row(0), row(0), row(0),              # w2/w4/w8
+                row(0), row(0),                      # alpha, beta
+                row(0), row(0), row(0), row(0),      # gp, gf, pmin, pmax
+                pl.BlockSpec((k, ct), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),  # mf
+            ],
+            out_specs=[
+                plane, plane, plane,
+                pl.BlockSpec((self.STATE_ROWS, ct), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((m + k - 1, ct), jnp.float32),
+                pltpu.VMEM((m + k - 1, ct), jnp.float32),
+            ],
+        )
+        c = cfg.n_channels
+        call = pl.pallas_call(
+            partial(_recovery_kernel, m=m, k=k, dc_alpha=cfg.dc_alpha),
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((m, c), jnp.float32),
+                jax.ShapeDtypeStruct((m, c), jnp.float32),
+                jax.ShapeDtypeStruct((m, c), jnp.float32),
+                jax.ShapeDtypeStruct((self.STATE_ROWS, c), jnp.float32),
+            ],
+            interpret=self.interpret,
+        )
+        return jax.jit(call)
+
+    def feed_planes(self, y_re: np.ndarray, y_im: np.ndarray):
+        """[M, C] float32 channel-baseband planes (RawBank layout) →
+        (soft complex [M, C], strobe bool [M, C])."""
+        sr, si, strobe, self.state = self._call(
+            y_re, y_im, self.state, self.consts["w_psk"],
+            self.consts["w_fsk"], self.consts["w_ask"],
+            self.consts["w2"], self.consts["w4"], self.consts["w8"],
+            self.consts["alpha"], self.consts["beta"],
+            self.consts["gp"], self.consts["gf"],
+            self.consts["pmin"], self.consts["pmax"], self.consts["mf"],
+        )
+        self.state = np.asarray(self.state)
+        return (np.asarray(sr) + 1j * np.asarray(si),
+                np.asarray(strobe) > 0.5)
+
+    def feed(self, y: np.ndarray):
+        y = np.asarray(y, np.complex64)
+        return self.feed_planes(np.ascontiguousarray(y.real),
+                                np.ascontiguousarray(y.imag))
+
+    @property
+    def period_estimate(self) -> np.ndarray:
+        return np.asarray(self.state[7])

@@ -20,10 +20,23 @@ from sigdigger_tpu.sources.base import SignalSource
 
 @dataclass
 class Emitter:
+    """One synthetic station.  ``kind`` selects the modulation:
+    "tone" (default; plus the legacy fm_rate/fm_dev FM tone), "am"
+    (tone-modulated envelope), "psk" (RRC-shaped M-PSK at ``baud``,
+    deterministic symbols from ``seed`` — randomly accessible, so
+    seeks/replays reproduce the same stream)."""
+
     freq: float          # absolute Hz
     amplitude: float = 1.0
     fm_rate: float = 0.0     # optional FM modulation tone
     fm_dev: float = 0.0
+    kind: str = "tone"       # "tone" | "am" | "psk"
+    am_rate: float = 0.0     # AM: modulating tone (Hz)
+    am_index: float = 0.5    # AM: modulation index
+    baud: float = 0.0        # PSK: symbol rate (Hz)
+    order: int = 4           # PSK: constellation size (2/4/8/…)
+    seed: int = 0            # PSK: symbol stream seed
+    rolloff: float = 0.35    # PSK: RRC roll-off
 
 
 class SynthBandSource(SignalSource):
@@ -49,6 +62,28 @@ class SynthBandSource(SignalSource):
         discarding a block after retuning)."""
         self.profile.freq = float(freq)
 
+    def _psk_envelope(self, e: Emitter, pos: int, n: int,
+                      fs: float) -> np.ndarray:
+        """RRC-shaped M-PSK complex envelope for samples [pos, pos+n).
+        Symbols come from a seeded generator regenerated per read, so
+        any sample range is reproducible (seek/replay-safe)."""
+        from sigdigger_tpu.dsp.filters import rrc_taps
+
+        sps = fs / max(e.baud, 1e-9)
+        taps = rrc_taps(sps, span=8, rolloff=e.rolloff)
+        pad = len(taps) // 2 + 1
+        start = max(0, pos - pad)
+        span = (pos + n + pad) - start
+        s_hi = int(np.ceil((pos + n + pad) / sps)) + 1
+        syms = np.random.default_rng(e.seed).integers(0, e.order, s_hi)
+        const = np.exp(2j * np.pi * syms / e.order)
+        up = np.zeros(span, np.complex128)
+        s_pos = np.round(np.arange(s_hi) * sps).astype(np.int64) - start
+        keep = (s_pos >= 0) & (s_pos < span)
+        up[s_pos[keep]] = const[keep]
+        env = np.convolve(up, taps, mode="same")
+        return env[pos - start:pos - start + n]
+
     def _read_impl(self, n: int) -> np.ndarray:
         fs = self.profile.sample_rate
         k = np.arange(self._pos, self._pos + n, dtype=np.float64)
@@ -64,7 +99,14 @@ class SynthBandSource(SignalSource):
                 t = k / fs
                 phase = phase + (e.fm_dev / max(e.fm_rate, 1e-9)) * \
                     np.sin(2.0 * np.pi * e.fm_rate * t)
-            out += e.amplitude * np.exp(1j * phase)
+            env = e.amplitude
+            if e.kind == "am" and e.am_rate > 0.0:
+                t = k / fs
+                env = env * (1.0 + e.am_index *
+                             np.cos(2.0 * np.pi * e.am_rate * t))
+            elif e.kind == "psk" and e.baud > 0.0:
+                env = env * self._psk_envelope(e, self._pos, n, fs)
+            out += env * np.exp(1j * phase)
         if self._noise_amp > 1e-12:
             noise = self._rng.standard_normal(2 * n)
             out += (self._noise_amp / np.sqrt(2.0)) * (

@@ -1,0 +1,238 @@
+"""KernelAnalyzer — the dynamic analyzer engine on the Pallas path.
+
+The VERDICT round-1 top gap: the full-featured analyzer must execute on
+the TPU kernel set (interpret mode here; identical program on TPU),
+with open/retune/close as constant updates, never a recompile
+(reference Suscan/Analyzer.cpp:411-598 async inspector protocol;
+SURVEY.md §7 "dynamic channel open/close without recompile")."""
+
+import numpy as np
+import pytest
+
+from sigdigger_tpu.analyzer.kernel_engine import KernelAnalyzer
+from sigdigger_tpu.analyzer.messages import (
+    InspectorMessageKind,
+    MessageKind,
+)
+from sigdigger_tpu.profiles import SourceProfile
+from sigdigger_tpu.sources import Emitter, SynthBandSource
+from sigdigger_tpu.types import AnalyzerParams, Channel
+
+FS = 256_000
+
+
+def make_engine(emitters, **kw):
+    prof = SourceProfile(type="synth", sample_rate=FS, freq=0.0)
+    src = SynthBandSource(prof, emitters, seed=1)
+    params = AnalyzerParams()
+    params.window_size = 4096
+    kw.setdefault("decimation", 16)
+    return KernelAnalyzer(source=src, params=params,
+                          block_size=32768, interpret=True, **kw)
+
+
+def drain(an, kinds=None):
+    msgs = an.poll()
+    if kinds is None:
+        return msgs
+    return [m for m in msgs if m.kind in kinds]
+
+
+def tone_snr(a, f, rate, skip):
+    a = np.asarray(a, np.float64)[skip:]
+    a = a - a.mean()
+    t = np.arange(skip, skip + len(a)) / rate
+    s, c = np.sin(2 * np.pi * f * t), np.cos(2 * np.pi * f * t)
+    fit = 2 * np.mean(a * s) * s + 2 * np.mean(a * c) * c
+    return 10 * np.log10(np.mean(fit ** 2)
+                         / max(np.mean((a - fit) ** 2), 1e-30))
+
+
+def test_engine_psd_and_fm_audio_end_to_end():
+    """File-style source → PSD messages + FM audio inspector, all on
+    the kernel path."""
+    fa, dev, f0 = 200.0, 2000.0, 60e3
+    an = make_engine([Emitter(freq=f0, amplitude=1.0,
+                               fm_rate=fa, fm_dev=dev)])
+    h = an.open_inspector("audio", Channel(fc=f0, bw=12e3),
+                          request_id=7,
+                          config={"audio.demodulator": 2,
+                                  "audio.volume": 1.0,
+                                  "audio.sample-rate":
+                                      int(an.audio_rate),
+                                  "agc.enabled": False})
+    msgs = drain(an)
+    opens = [m for m in msgs if m.kind == MessageKind.INSPECTOR
+             and m.inspector_kind == InspectorMessageKind.OPEN]
+    assert len(opens) == 1 and opens[0].request_id == 7
+    assert opens[0].equiv_rate == an.channel_rate
+
+    audio = []
+    psd_seen = 0
+    for _ in range(20):
+        assert an.step()
+        for m in an.poll():
+            if m.kind == MessageKind.PSD:
+                psd_seen += 1
+                freqs = np.linspace(-FS / 2, FS / 2, len(m.data),
+                                    endpoint=False)
+                peak = freqs[int(np.argmax(m.data))]
+                # FM spectrum: the peak wanders within the deviation
+                assert abs(peak - f0) < dev + 2 * FS / 4096
+            elif m.kind == MessageKind.SAMPLES and m.handle == h:
+                audio.append(m.samples)
+    assert psd_seen >= 1
+    a = np.concatenate(audio)
+    assert tone_snr(a, fa, an.audio_rate, skip=512) > 25.0
+
+
+def test_engine_am_ssb_and_power_slots():
+    """AM + USB + power inspectors sharing one kernel-path engine."""
+    fa = 300.0
+    an = make_engine([
+        Emitter(freq=50e3, amplitude=1.0, kind="am", am_rate=fa,
+                am_index=0.5),
+        Emitter(freq=-30e3 + 240.0, amplitude=0.7)])
+    h_am = an.open_inspector("audio", Channel(fc=50e3, bw=8e3),
+                             config={"audio.demodulator": 1,
+                                     "audio.cutoff": 1000.0,
+                                     "audio.volume": 1.0,
+                                     "audio.sample-rate":
+                                         int(an.audio_rate),
+                                     "agc.enabled": False})
+    h_usb = an.open_inspector("audio", Channel(fc=-30e3, bw=4e3),
+                              config={"audio.demodulator": 3,
+                                      "audio.cutoff": 1000.0,
+                                      "audio.volume": 1.0,
+                                      "audio.sample-rate":
+                                          int(an.audio_rate),
+                                      "agc.enabled": False})
+    h_pw = an.open_inspector("power", Channel(fc=50e3, bw=8e3),
+                             config={"power.integrate-samples": 256})
+    out = {h_am: [], h_usb: [], h_pw: []}
+    for _ in range(24):
+        assert an.step()
+        for m in an.poll():
+            if m.kind == MessageKind.SAMPLES:
+                out[m.handle].append(m.samples)
+    am = np.concatenate(out[h_am])
+    usb = np.concatenate(out[h_usb])
+    pw = np.concatenate(out[h_pw])
+    assert tone_snr(am, fa, an.audio_rate, skip=1536) > 20.0
+    assert tone_snr(usb, 240.0, an.audio_rate, skip=512) > 20.0
+    # AM channel power ≈ 1 + m²/2 ≈ 1.12 → RMS ≈ 1.06
+    assert len(pw) > 4
+    assert abs(np.mean(pw[2:]) - 1.06) < 0.15
+
+
+def test_engine_psk_inspector():
+    an = make_engine([Emitter(freq=-70e3, amplitude=1.0,
+                               kind="psk", baud=2000.0, order=4,
+                               seed=11)])
+    h = an.open_inspector("psk", Channel(fc=-70e3, bw=6e3),
+                          config={"afc.bits-per-symbol": 2,
+                                  "clock.baud": 2000.0,
+                                  "clock.gain": 0.08,
+                                  "afc.loop-bw": 0.005})
+    syms = []
+    for _ in range(24):
+        assert an.step()
+        for m in an.poll():
+            if m.kind == MessageKind.SAMPLES and m.handle == h:
+                s = m.samples[m.extras["strobes"]]
+                syms.append(s)
+    got = np.concatenate(syms)
+    assert len(got) > 0.8 * 2000 * 24 * 32768 / FS
+    tail = got[len(got) // 2:]
+    conc = np.abs(np.mean(np.exp(1j * np.angle(tail ** 4))))
+    assert conc > 0.85, conc
+
+
+def test_engine_open_retune_close_no_recompile():
+    """The SURVEY §7 contract: inspector lifecycle never rebuilds any
+    compiled kernel."""
+    an = make_engine([Emitter(freq=10e3, amplitude=1.0)])
+    calls = (an._audio_bank._call, an._raw_bank._call,
+             an._rec_bank._call, an._spectrum._call)
+
+    h1 = an.open_inspector("audio", Channel(fc=10e3, bw=4e3))
+    h2 = an.open_inspector("psk", Channel(fc=-20e3, bw=4e3))
+    an.step()
+    an.set_inspector_freq(h1, -5e3)
+    an.set_inspector_bandwidth(h1, 6e3)
+    an.set_inspector_config(h1, {"audio.demodulator": 4,
+                                 "audio.volume": 0.5})
+    an.set_inspector_config(h2, {"clock.baud": 1000.0,
+                                 "afc.bits-per-symbol": 3})
+    an.step()
+    an.close_inspector(h2)
+    h3 = an.open_inspector("raw", Channel(fc=0.0, bw=4e3))
+    an.step()
+    an.close_inspector(h3)
+    an.close_inspector(h1)
+    an.step()
+    assert (an._audio_bank._call, an._raw_bank._call,
+            an._rec_bank._call, an._spectrum._call) == calls
+    # acks all arrived
+    kinds = [m.inspector_kind for m in an.poll()
+             if m.kind == MessageKind.INSPECTOR]
+    for want in (InspectorMessageKind.OPEN,
+                 InspectorMessageKind.SET_FREQ,
+                 InspectorMessageKind.SET_BANDWIDTH,
+                 InspectorMessageKind.SET_CONFIG,
+                 InspectorMessageKind.CLOSE):
+        assert want in kinds
+
+
+def test_engine_slot_exhaustion():
+    an = make_engine([Emitter(freq=0.0, amplitude=1.0)], n_slots=8)
+    for i in range(8):
+        an.open_inspector("raw", Channel(fc=i * 1e3, bw=2e3))
+    with pytest.raises(RuntimeError):
+        an.open_inspector("raw", Channel(fc=99e3, bw=2e3))
+    msgs = [m for m in an.poll() if m.kind == MessageKind.INSPECTOR]
+    assert any(m.inspector_kind == InspectorMessageKind.WRONG_OBJECT
+               for m in msgs)
+    # closing one frees a slot
+    an.close_inspector(1)
+    an.open_inspector("raw", Channel(fc=99e3, bw=2e3))
+
+
+def test_engine_estimators_and_spectrum_source():
+    """Baud estimator + per-inspector secondary spectrum on the kernel
+    path (raw tap feeds both)."""
+    an = make_engine([Emitter(freq=40e3, amplitude=1.0, kind="psk",
+                               baud=2000.0, order=4, seed=3)])
+    h = an.open_inspector("psk", Channel(fc=40e3, bw=6e3),
+                          config={"clock.baud": 2000.0})
+    an.set_estimator(h, "baud", True)
+    an.set_spectrum_source(h, 1)
+    bauds, spectra = [], []
+    for _ in range(10):
+        an.step()
+        for m in an.poll():
+            if m.kind != MessageKind.INSPECTOR:
+                continue
+            if m.inspector_kind == InspectorMessageKind.ESTIMATOR:
+                bauds.append(m.estimator_value)
+            elif m.inspector_kind == InspectorMessageKind.SPECTRUM:
+                spectra.append(m.spectrum_data)
+    assert spectra and len(spectra[0]) >= 64
+    assert bauds and any(abs(b - 2000.0) < 200.0 for b in bauds)
+
+
+def test_engine_raw_inspector_passthrough():
+    an = make_engine([Emitter(freq=20e3, amplitude=0.8)])
+    h = an.open_inspector("raw", Channel(fc=20e3, bw=4e3),
+                          config={"agc.enabled": False,
+                                  "agc.gain": 2.0})
+    cols = []
+    for _ in range(8):
+        an.step()
+        for m in an.poll():
+            if m.kind == MessageKind.SAMPLES and m.handle == h:
+                cols.append(m.samples)
+    y = np.concatenate(cols)
+    assert y.dtype == np.complex64
+    # 0.8 amplitude × gain 2 → |y| ≈ 1.6 at DC after settle
+    assert abs(np.mean(np.abs(y[1024:])) - 1.6) < 0.1
