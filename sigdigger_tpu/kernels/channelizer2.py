@@ -128,15 +128,35 @@ def _kernel2(xw_re, xw_im, h_re, h_im, theta, m_ramp, phi0, prev_re,
 
 
 class MatChannelizer2:
-    """Large-block streaming FM receiver on the 2-D-tiled fused kernel."""
+    """Large-block streaming FM receiver on the 2-D-tiled fused kernel.
+
+    Transfer discipline (remote/tunnel-attached TPUs pay ~10-25 ms RTT
+    per transfer): the framed input is ONE packed [2M, K] buffer (the
+    kernel reads re/im planes from it via two BlockSpecs), and the
+    inter-block carries (discriminator prev row, audio FIR tail) stay
+    device-resident — they never round-trip to the host.
+
+    ``snap_grid=True`` quantizes channel centers to the block-rate grid
+    fs/(decimation·block_out) (±half a grid step ≈ hundreds of mHz —
+    standard channelizer practice), which makes the rotator phase
+    pattern periodic in the block so ``phi0`` becomes a device-resident
+    CONSTANT: zero per-block phase upload and no host f64 bookkeeping.
+    """
 
     def __init__(self, cfg: MatChannelizer2Config, f0s: np.ndarray,
-                 bw: float, interpret: bool | None = None) -> None:
+                 bw: float, interpret: bool | None = None,
+                 snap_grid: bool = False) -> None:
         assert cfg.n_channels % cfg.channel_tile == 0
         self.cfg = cfg
         if interpret is None:
             interpret = jax.default_backend() not in ("tpu", "axon")
         self.interpret = interpret
+        f0s = np.asarray(f0s, np.float64)
+        if snap_grid:
+            grid = cfg.sample_rate / cfg.block_in
+            f0s = np.round(f0s / grid) * grid
+        self.f0s = f0s
+        self.snap_grid = snap_grid
         base_cfg_consts = make_mat_constants(
             _as_v1_cfg(cfg), f0s, bw)
         self.consts = {
@@ -149,13 +169,18 @@ class MatChannelizer2:
         }
         c = cfg.n_channels
         self._history = np.zeros(cfg.taps - 1, np.complex64)
-        self._prev = np.zeros((1, c), np.complex64)
-        self._ftail = np.zeros((cfg.audio_taps - 1, c), np.float32)
+        self._prev_re = jnp.zeros((1, c), jnp.float32)
+        self._prev_im = jnp.zeros((1, c), jnp.float32)
+        self._ftail = jnp.zeros((cfg.audio_taps - 1, c), jnp.float32)
         self._phi = np.zeros((1, c), np.float64)
         self._theta64 = np.mod(
-            _TWO_PI * np.broadcast_to(np.asarray(f0s, np.float64), (c,))
+            _TWO_PI * np.broadcast_to(f0s, (c,))
             / cfg.sample_rate * cfg.decimation, _TWO_PI)
         self._call = self._build()
+        # with a snapped grid the per-block phase advance is ≡ 0 mod 2π,
+        # so the phase-tile pattern is one device-resident constant
+        self._phi0_dev = (jnp.asarray(self._phi_tiles())
+                          if snap_grid else None)
 
     def _build(self):
         cfg = self.cfg
@@ -168,10 +193,14 @@ class MatChannelizer2:
         grid_spec = pl.GridSpec(
             grid=(c_tiles, m_tiles),      # mi innermost (sequential)
             in_specs=[
+                # re/im planes are two views of ONE packed [2M, K]
+                # buffer (single H2D transfer): rows [0, M) then [M, 2M)
                 pl.BlockSpec((mt, k), lambda ci, mi: (mi, 0),
-                             memory_space=pltpu.VMEM),      # xw_re
-                pl.BlockSpec((mt, k), lambda ci, mi: (mi, 0),
-                             memory_space=pltpu.VMEM),      # xw_im
+                             memory_space=pltpu.VMEM),      # xw packed re
+                pl.BlockSpec((mt, k),
+                             lambda ci, mi, _mtiles=m_tiles:
+                             (_mtiles + mi, 0),
+                             memory_space=pltpu.VMEM),      # xw packed im
                 pl.BlockSpec((k, ct), lambda ci, mi: (0, ci),
                              memory_space=pltpu.VMEM),      # h_re
                 pl.BlockSpec((k, ct), lambda ci, mi: (0, ci),
@@ -223,26 +252,47 @@ class MatChannelizer2:
         return jax.jit(call)
 
     def feed(self, x: np.ndarray) -> np.ndarray:
-        from sigdigger_tpu.native import frame_windows
+        return np.asarray(self.feed_async(x))
+
+    def feed_async(self, x: np.ndarray):
+        """Frame + dispatch one block; returns the DEVICE audio array
+        without forcing the D2H fetch (callers pipeline the drain)."""
+        return self.feed_packed(self._frame(x))
+
+    def feed_packed(self, xw):
+        """Dispatch one pre-framed packed [2M, K] buffer (callers may
+        share the same buffer with :class:`PallasPSDFromXW`)."""
+        import jax as _jax
+
+        cfg = self.cfg
+        # upload ONCE — the kernel takes the buffer as two aliased
+        # inputs, which must not become two host→device transfers
+        xw = _jax.device_put(xw)
+        phi0 = (self._phi0_dev if self.snap_grid
+                else self._phi_tiles())
+        audio, last_re, last_im, ftail = self._call(
+            xw, xw, self.consts["h_re"], self.consts["h_im"],
+            self.consts["theta"], self.consts["m_ramp"], phi0,
+            self._prev_re, self._prev_im,
+            self._ftail, self.consts["bt"],
+        )
+        # carries stay device-resident across blocks
+        self._prev_re, self._prev_im = last_re, last_im
+        self._ftail = ftail
+        if not self.snap_grid:
+            self._phi = self._phi + self._theta64[None, :] * cfg.block_out
+        return audio
+
+    def _frame(self, x: np.ndarray) -> np.ndarray:
+        from sigdigger_tpu.native import frame_windows_packed
 
         cfg = self.cfg
         ext = np.concatenate([self._history,
                               np.asarray(x, np.complex64)])
-        xw_re, xw_im = frame_windows(ext, cfg.block_out, cfg.taps,
-                                     cfg.decimation)
+        xw = frame_windows_packed(ext, cfg.block_out, cfg.taps,
+                                  cfg.decimation)
         self._history = ext[-(cfg.taps - 1):].copy()
-        phi0 = self._phi_tiles()
-        audio, last_re, last_im, ftail = self._call(
-            xw_re, xw_im, self.consts["h_re"], self.consts["h_im"],
-            self.consts["theta"], self.consts["m_ramp"], phi0,
-            np.ascontiguousarray(self._prev.real).astype(np.float32),
-            np.ascontiguousarray(self._prev.imag).astype(np.float32),
-            self._ftail, self.consts["bt"],
-        )
-        self._prev = np.asarray(last_re) + 1j * np.asarray(last_im)
-        self._ftail = np.asarray(ftail)
-        self._phi = self._phi + self._theta64[None, :] * cfg.block_out
-        return np.asarray(audio)
+        return xw
 
     def _phi_tiles(self) -> np.ndarray:
         """Per-time-tile start phases [m_tiles, C] in float32, computed
@@ -257,10 +307,11 @@ class MatChannelizer2:
         out[::8] = tiles
         return out
 
-    def feed_device(self, xw_re, xw_im, phi0, prev_re, prev_im, ftail):
+    def feed_device(self, xw_packed, phi0, prev_re, prev_im, ftail):
         return self._call(
-            xw_re, xw_im, self.consts["h_re"], self.consts["h_im"],
-            self.consts["theta"], self.consts["m_ramp"], phi0,
+            xw_packed, xw_packed, self.consts["h_re"],
+            self.consts["h_im"], self.consts["theta"],
+            self.consts["m_ramp"], phi0,
             prev_re, prev_im, ftail, self.consts["bt"],
         )
 

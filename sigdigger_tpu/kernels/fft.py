@@ -131,10 +131,12 @@ class PallasPSD:
         grid_spec = pl.GridSpec(
             grid=(n_prog,),
             in_specs=[
+                # re/im planes are two views of ONE packed [2A, F·B]
+                # buffer (single H2D transfer): row-blocks 0 then 1
                 pl.BlockSpec((a, fb * b), lambda i: (0, i),
-                             memory_space=pltpu.VMEM),   # x_re
-                pl.BlockSpec((a, fb * b), lambda i: (0, i),
-                             memory_space=pltpu.VMEM),   # x_im
+                             memory_space=pltpu.VMEM),   # x packed re
+                pl.BlockSpec((a, fb * b), lambda i: (1, i),
+                             memory_space=pltpu.VMEM),   # x packed im
                 pl.BlockSpec((a, a), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((a, a), lambda i: (0, 0),
@@ -160,19 +162,31 @@ class PallasPSD:
         self.psd = np.zeros(n, np.float64)
         self._count = 0
 
-    def prepare(self, x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        """Host framing: x [block_in] complex → windowed [A, F·B] planes
-        in the kernel's layout (column f·B+b, row a ↔ sample a·B+b)."""
-        from sigdigger_tpu.native import frame_psd
+    def prepare(self, x: np.ndarray) -> np.ndarray:
+        """Host framing: x [block_in] complex → windowed packed
+        [2A, F·B] planes in the kernel's layout (column f·B+b, row a ↔
+        sample a·B+b; rows [0, A) re, [A, 2A) im) — one buffer so the
+        upload is a single transfer."""
+        from sigdigger_tpu.native import frame_psd_packed
 
         cfg = self.cfg
-        return frame_psd(np.asarray(x, np.complex64), self._taps,
-                         cfg.frames_per_block, cfg.a, cfg.b)
+        return frame_psd_packed(np.asarray(x, np.complex64), self._taps,
+                                cfg.frames_per_block, cfg.a, cfg.b)
 
     def feed(self, x: np.ndarray) -> np.ndarray:
-        x_re, x_im = self.prepare(np.asarray(x, np.complex64))
-        out = np.asarray(self._call(x_re, x_im, *self._const))
-        mean_psd = self.unpermute(out)
+        return self.fold(np.asarray(self.feed_async(x)))
+
+    def feed_async(self, x: np.ndarray):
+        """Frame + dispatch; returns the DEVICE (k1, k2) PSD block
+        without fetching.  Fold fetched results IN ORDER via
+        :meth:`fold`."""
+        # upload ONCE, then alias (two numpy args would upload twice)
+        xp = jax.device_put(self.prepare(np.asarray(x, np.complex64)))
+        return self._call(xp, xp, *self._const)
+
+    def fold(self, out: np.ndarray) -> np.ndarray:
+        """EMA-fold one fetched kernel output into the running PSD."""
+        mean_psd = self.unpermute(np.asarray(out))
         if self._count == 0:
             self.psd = mean_psd.astype(np.float64)
         else:
@@ -191,3 +205,122 @@ class PallasPSD:
 
     def shifted(self) -> np.ndarray:
         return np.fft.fftshift(self.psd).astype(np.float32)
+
+
+def _psd_kernel_xw(x_re, x_im, w2d, da_re, da_im, tw_re, tw_im, db_re,
+                   db_im, out_ref, *, a: int, b: int, fb: int,
+                   scale: float):
+    """Bailey PSD reading frames straight from the channelizer's packed
+    [2M, K] window buffer: with K == B, frame f's [A, B] Bailey matrix
+    x[a·B + b] is rows [f·A, (f+1)·A) verbatim — no separate PSD
+    framing or upload.  Window taps are applied in-kernel (w2d is
+    taps[a·B+b] as [A, B])."""
+    acc = jnp.zeros((a, b), jnp.float32)
+    for fi in range(fb):                      # static unroll
+        xr = x_re[fi * a:(fi + 1) * a, :] * w2d[:]
+        xi = x_im[fi * a:(fi + 1) * a, :] * w2d[:]
+        s1r = jnp.dot(da_re[:], xr, preferred_element_type=jnp.float32) \
+            - jnp.dot(da_im[:], xi, preferred_element_type=jnp.float32)
+        s1i = jnp.dot(da_re[:], xi, preferred_element_type=jnp.float32) \
+            + jnp.dot(da_im[:], xr, preferred_element_type=jnp.float32)
+        s2r = s1r * tw_re[:] - s1i * tw_im[:]
+        s2i = s1r * tw_im[:] + s1i * tw_re[:]
+        s3r = jnp.dot(s2r, db_re[:], preferred_element_type=jnp.float32) \
+            - jnp.dot(s2i, db_im[:], preferred_element_type=jnp.float32)
+        s3i = jnp.dot(s2r, db_im[:], preferred_element_type=jnp.float32) \
+            + jnp.dot(s2i, db_re[:], preferred_element_type=jnp.float32)
+        acc = acc + (s3r * s3r + s3i * s3i)
+    prog = pl.program_id(0)
+
+    @pl.when(prog == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    out_ref[:] += acc * scale
+
+
+class PallasPSDFromXW(PallasPSD):
+    """PSD sharing the channelizer's packed window upload.
+
+    Requires ``cfg.b == taps-per-window`` (e.g. fft 4096 with the
+    64-tap channelizer → A = B = 64) and window stride == width
+    (decimation == taps, the fused channelizer's shape).  ``feed``
+    takes the packed [2M, K] buffer from
+    ``MatChannelizer2._frame`` / ``feed_async`` instead of raw IQ, so
+    per block the host uploads ONE buffer for both kernels — on
+    tunnel/PCIe-attached hosts this halves H2D traffic.
+
+    The frames are offset by (taps-1) history samples relative to the
+    raw block (the channelizer's overlap-save shift); a constant
+    sub-window shift is spectrally irrelevant for a PSD estimate.
+    """
+
+    def __init__(self, cfg: PallasPSDConfig, m_rows: int,
+                 sample_rate: float,
+                 window: WindowFunction = WindowFunction.BLACKMANN_HARRIS,
+                 alpha: float = 0.25,
+                 interpret: bool | None = None) -> None:
+        super().__init__(cfg, sample_rate, window, alpha, interpret)
+        a, b = cfg.a, cfg.b
+        fb = cfg.frames_per_program
+        assert m_rows * b == cfg.block_in, \
+            "xw rows x taps must equal the PSD block"
+        if interpret is None:
+            interpret = jax.default_backend() not in ("tpu", "axon")
+        # drop the tiled twiddle (it repeats per frame here)
+        da_re, da_im = _dft_matrix(a)
+        db_re, db_im = _dft_matrix(b)
+        k1 = np.arange(a)[:, None]
+        bb = np.arange(b)[None, :]
+        ang = -2.0 * np.pi * k1 * bb / cfg.fft_size
+        w2d = self._taps.astype(np.float32).reshape(a, b)
+        self._const = (jnp.asarray(w2d),
+                       jnp.asarray(da_re), jnp.asarray(da_im),
+                       jnp.asarray(np.cos(ang).astype(np.float32)),
+                       jnp.asarray(np.sin(ang).astype(np.float32)),
+                       jnp.asarray(db_re), jnp.asarray(db_im))
+        wsum2 = float(np.sum(self._taps ** 2))
+        scale = 1.0 / (self.sample_rate * wsum2 * cfg.frames_per_block)
+        n_prog = cfg.frames_per_block // fb
+        im_off = m_rows // (fb * a)       # im plane starts at row M
+        grid_spec = pl.GridSpec(
+            grid=(n_prog,),
+            in_specs=[
+                pl.BlockSpec((fb * a, b), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),   # xw packed re
+                pl.BlockSpec((fb * a, b),
+                             lambda i, _o=im_off: (_o + i, 0),
+                             memory_space=pltpu.VMEM),   # xw packed im
+                pl.BlockSpec((a, b), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),   # w2d
+                pl.BlockSpec((a, a), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((a, a), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((a, b), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),   # tw_re
+                pl.BlockSpec((a, b), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),   # tw_im
+                pl.BlockSpec((b, b), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((b, b), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((a, b), lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM),
+        )
+        self._call = jax.jit(pl.pallas_call(
+            partial(_psd_kernel_xw, a=a, b=b, fb=fb, scale=scale),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((a, b), jnp.float32),
+            interpret=interpret,
+        ))
+
+    def feed_async(self, xw):
+        """xw: the channelizer's packed [2M, K] buffer (host or
+        device) — this kernel adds NO extra upload."""
+        xw = jax.device_put(xw)
+        return self._call(xw, xw, *self._const)
+
+    def feed(self, xw) -> np.ndarray:
+        return self.fold(np.asarray(self.feed_async(xw)))

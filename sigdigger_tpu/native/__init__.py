@@ -145,6 +145,48 @@ def frame_psd(x: np.ndarray, taps: np.ndarray, f: int, a: int, b: int
     return out_re, out_im
 
 
+def frame_windows_packed(ext: np.ndarray, m: int, k: int,
+                         d: int) -> np.ndarray:
+    """Like :func:`frame_windows` but re/im planes stacked into ONE
+    contiguous [2M, K] buffer (rows [0, M) = re, [M, 2M) = im) so the
+    host→device upload is a single transfer — one tunnel RTT instead of
+    two (the Pallas kernels read both planes from the same buffer via
+    two BlockSpecs)."""
+    ext = np.ascontiguousarray(ext, np.complex64)
+    out = np.empty((2 * m, k), np.float32)
+    if _lib is None:
+        w = np.lib.stride_tricks.as_strided(
+            ext, shape=(m, k),
+            strides=(ext.strides[0] * d, ext.strides[0]))
+        out[:m] = w.real
+        out[m:] = w.imag
+        return out
+    _lib.sd_frame_windows(
+        ext.view(np.float32).ctypes.data_as(
+            ctypes.POINTER(ctypes.c_float)),
+        _fptr(out[:m]), _fptr(out[m:]), m, k, d)
+    return out
+
+
+def frame_psd_packed(x: np.ndarray, taps: np.ndarray, f: int, a: int,
+                     b: int) -> np.ndarray:
+    """Like :func:`frame_psd` but packed into ONE [2A, F·B] buffer
+    (rows [0, A) = re, [A, 2A) = im) for a single-transfer upload."""
+    x = np.ascontiguousarray(x, np.complex64)
+    taps32 = np.ascontiguousarray(taps, np.float32)
+    out = np.empty((2 * a, f * b), np.float32)
+    if _lib is None:
+        frames = x.reshape(f, a * b) * taps32[None, :]
+        arr = frames.reshape(f, a, b).transpose(1, 0, 2).reshape(a, f * b)
+        out[:a] = arr.real
+        out[a:] = arr.imag
+        return out
+    _lib.sd_frame_psd(
+        x.view(np.float32).ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        _fptr(taps32), _fptr(out[:a]), _fptr(out[a:]), f, a, b)
+    return out
+
+
 # ---------------------------------------------------------------------
 # ring buffer
 # ---------------------------------------------------------------------

@@ -63,6 +63,7 @@ class KernelReceiver:
         baud: float | None = None,
         psk_order: int = 4,
         interpret: bool | None = None,
+        snap_grid: bool = True,
     ) -> None:
         f0s = np.asarray(f0s, np.float64)
         n_channels = len(f0s)
@@ -86,7 +87,8 @@ class KernelReceiver:
                 channel_tile=tile,
             )
             self._chan = MatChannelizer2(v2, f0s, bw,
-                                         interpret=interpret)
+                                         interpret=interpret,
+                                         snap_grid=snap_grid)
             self._rec = None
         else:
             # raw channelizer: quad_gain unused; reuse the fused kernel
@@ -111,16 +113,27 @@ class KernelReceiver:
                     n_channels=n_channels, block_len=block_out,
                     mode=mode, sps=sps, channel_tile=tile,
                 ), interpret=interpret)
-        self._psd = PallasPSD(
-            PallasPSDConfig(
-                fft_size=psd_fft,
-                frames_per_block=self.cfg.block_in // psd_fft,
-                frames_per_program=min(
-                    8, self.cfg.block_in // psd_fft),
-            ),
-            float(sample_rate), WindowFunction.BLACKMANN_HARRIS,
-            interpret=interpret,
+        psd_cfg = PallasPSDConfig(
+            fft_size=psd_fft,
+            frames_per_block=self.cfg.block_in // psd_fft,
+            frames_per_program=min(8, self.cfg.block_in // psd_fft),
         )
+        # When the channelizer's packed window buffer IS the Bailey
+        # layout (B == taps == decimation), the PSD reads the same
+        # upload — one H2D per block for both kernels.
+        self._shared_psd = (
+            mode == "fm" and psd_cfg.b == self.cfg.taps
+            and self.cfg.decimation == self.cfg.taps)
+        if self._shared_psd:
+            from sigdigger_tpu.kernels.fft import PallasPSDFromXW
+
+            self._psd = PallasPSDFromXW(
+                psd_cfg, self.cfg.block_out, float(sample_rate),
+                WindowFunction.BLACKMANN_HARRIS, interpret=interpret)
+        else:
+            self._psd = PallasPSD(
+                psd_cfg, float(sample_rate),
+                WindowFunction.BLACKMANN_HARRIS, interpret=interpret)
 
     @property
     def channel_rate(self) -> float:
@@ -135,23 +148,56 @@ class KernelReceiver:
         return self.cfg.block_in
 
     def feed(self, x: np.ndarray) -> ReceiverBlock:
-        psd = self._psd.feed(x)
+        return self.drain(self.feed_async(x))
+
+    def feed_async(self, x: np.ndarray):
+        """Frame + dispatch one block, deferring every D2H fetch.
+
+        Returns an opaque in-flight handle for :meth:`drain`.  Handles
+        MUST be drained in feed order (the PSD EMA fold is sequential).
+        On tunnel-attached TPUs this lets the next block's host framing
+        and upload overlap the previous block's result fetch.
+        """
+        if self._shared_psd:
+            import jax
+
+            xw = jax.device_put(self._chan._frame(x))
+            return (self._psd.feed_async(xw),   # ONE upload, two kernels
+                    self._chan.feed_packed(xw), None)
+        psd_h = self._psd.feed_async(x)
         if self.mode == "fm":
-            audio = self._chan.feed(x)
-            return ReceiverBlock(psd=psd, audio=audio)
+            return (psd_h, self._chan.feed_async(x), None)
         y = self._chan.feed(x)
         soft, strobes = self._rec.feed(y)
-        return ReceiverBlock(psd=psd, symbols=soft, strobes=strobes)
+        return (psd_h, soft, strobes)
+
+    def drain(self, handle) -> ReceiverBlock:
+        psd_h, a, b = handle
+        psd = self._psd.fold(np.asarray(psd_h))
+        if self.mode == "fm":
+            return ReceiverBlock(psd=psd, audio=np.asarray(a))
+        return ReceiverBlock(psd=psd, symbols=a, strobes=b)
 
     def run(self, source: SignalSource,
-            max_blocks: int | None = None) -> Iterator[ReceiverBlock]:
+            max_blocks: int | None = None,
+            pipeline_depth: int = 1) -> Iterator[ReceiverBlock]:
+        """Stream blocks from `source`.  ``pipeline_depth > 1`` keeps
+        that many blocks in flight (double buffering — the reference's
+        GenericDataSaver.cpp:53-100 pattern, host/device overlapped)."""
+        from collections import deque
+
+        inflight: deque = deque()
         n = 0
         while not source.eos:
             if max_blocks is not None and n >= max_blocks:
-                return
+                break
             x = source.read(self.block_in)
-            yield self.feed(x)
+            inflight.append(self.feed_async(x))
             n += 1
+            if len(inflight) >= pipeline_depth:
+                yield self.drain(inflight.popleft())
+        while inflight:
+            yield self.drain(inflight.popleft())
 
 
 class _RawMatChannelizer(MatChannelizer):

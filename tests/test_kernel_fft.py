@@ -63,3 +63,48 @@ def test_psd_other_sizes(n, frames):
     x = np.exp(2j * np.pi * (5.0 / n) * k).astype(np.complex64)
     out = psd.feed(x)
     assert np.argmax(out) == 5
+
+
+def test_psd_from_xw_matches_standalone():
+    """PallasPSDFromXW reads the channelizer's packed window buffer;
+    its frames are the standalone PSD's frames over the history-shifted
+    stream (hist + x)[:block_in] — exact equality on that signal."""
+    import numpy as np
+
+    from sigdigger_tpu.kernels.channelizer2 import (
+        MatChannelizer2,
+        MatChannelizer2Config,
+    )
+    from sigdigger_tpu.kernels.fft import (
+        PallasPSD,
+        PallasPSDConfig,
+        PallasPSDFromXW,
+    )
+    from sigdigger_tpu.types import WindowFunction
+
+    fs = 1_024_000.0
+    ccfg = MatChannelizer2Config(
+        sample_rate=fs, n_channels=8, taps=64, decimation=64,
+        audio_taps=64, audio_decim=8, block_out=256, m_tile=256,
+        channel_tile=8)
+    pcfg = PallasPSDConfig(fft_size=4096,
+                           frames_per_block=ccfg.block_in // 4096,
+                           frames_per_program=2)
+    mc = MatChannelizer2(ccfg, np.linspace(-400e3, 400e3, 8), bw=8e3,
+                         interpret=True)
+    shared = PallasPSDFromXW(pcfg, ccfg.block_out, fs,
+                             WindowFunction.BLACKMANN_HARRIS,
+                             interpret=True)
+    solo = PallasPSD(pcfg, fs, WindowFunction.BLACKMANN_HARRIS,
+                     interpret=True)
+    rng = np.random.default_rng(0)
+    t = np.arange(ccfg.block_in)
+    x = (np.exp(2j * np.pi * 100e3 * t / fs)
+         + 0.1 * (rng.standard_normal(ccfg.block_in)
+                  + 1j * rng.standard_normal(ccfg.block_in))
+         ).astype(np.complex64)
+    hist = np.zeros(ccfg.taps - 1, np.complex64)
+    xw = mc._frame(x)
+    got = shared.feed(xw)
+    want = solo.feed(np.concatenate([hist, x])[:ccfg.block_in])
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-12)

@@ -63,3 +63,54 @@ def test_receiver_psk_end_to_end():
         tail = got[len(got) // 2:]
         conc = np.abs(np.mean(np.exp(1j * np.angle(tail ** 4))))
         assert conc > 0.85, (c, conc)
+
+
+def test_receiver_pipelined_matches_sequential():
+    """Depth-2 in-flight draining must be numerically identical to the
+    synchronous feed path (same kernels, same order of EMA folds)."""
+    fs = 2_048_000.0
+    f0s = np.array([-500e3, -100e3, 300e3, 700e3])
+    prof = SourceProfile(type="synth", sample_rate=int(fs),
+                         noise_db=-70.0)
+    emit = [Emitter(freq=300e3, amplitude=1.0, fm_rate=1000.0,
+                    fm_dev=8000.0)]
+
+    def run(depth):
+        rx = KernelReceiver(fs, f0s, bw=100e3, mode="fm", decimation=32,
+                            block_out=1024, psd_fft=1024,
+                            interpret=True)
+        src = SynthBandSource(prof, emit, seed=3)
+        return list(rx.run(src, max_blocks=4, pipeline_depth=depth))
+
+    seq, pipe = run(1), run(3)
+    for a, b in zip(seq, pipe):
+        np.testing.assert_allclose(a.audio, b.audio, rtol=1e-6)
+        np.testing.assert_allclose(a.psd, b.psd, rtol=1e-6)
+
+
+def test_receiver_snap_grid_quantization():
+    """snap_grid quantizes centers to fs/block_in and keeps the rotator
+    phase constant across blocks: a snapped receiver must match an
+    unsnapped receiver configured at exactly the snapped frequencies."""
+    fs = 2_048_000.0
+    block_out, decim = 1024, 32
+    grid = fs / (block_out * decim)
+    f0s_raw = np.array([-500e3 + 0.3 * grid, 300e3 - 0.4 * grid])
+    f0s_snap = np.round(f0s_raw / grid) * grid
+    prof = SourceProfile(type="synth", sample_rate=int(fs),
+                         noise_db=-70.0)
+    emit = [Emitter(freq=float(f0s_snap[1]), amplitude=1.0,
+                    fm_rate=1000.0, fm_dev=8000.0)]
+
+    def run(f0s, snap):
+        rx = KernelReceiver(fs, f0s, bw=100e3, mode="fm",
+                            decimation=decim, block_out=block_out,
+                            psd_fft=1024, interpret=True,
+                            snap_grid=snap)
+        src = SynthBandSource(prof, emit, seed=5)
+        return np.concatenate(
+            [b.audio for b in rx.run(src, max_blocks=3)], axis=0)
+
+    a = run(f0s_raw, True)           # snapped internally
+    b = run(f0s_snap, False)         # explicit grid centers, live phi
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
