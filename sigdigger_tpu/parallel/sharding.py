@@ -49,7 +49,8 @@ def make_mesh(n_time: int = 1, n_ch: int | None = None,
 
 
 def sharded_pipeline_step(cfg: PipelineConfig, consts: dict[str, Any],
-                          state: dict[str, Any], x: jax.Array):
+                          state: dict[str, Any], x: jax.Array,
+                          handoff: str = "replica"):
     """Pipeline step body for `shard_map` over a ("time", "ch") mesh.
 
     Per-device view: ``x`` is this device's time slice (already split on
@@ -143,12 +144,85 @@ def sharded_pipeline_step(cfg: PipelineConfig, consts: dict[str, Any],
         state["lpf_tail"] = bcast_last(
             jnp.asarray(f[:, -k1:], jnp.complex64))
         outputs = {"audio": audio}
+    elif cfg.demod == "am":
+        # AM is EXACT under time sharding: the DC-removal EMA is a
+        # linear time-varying recurrence, so the cross-shard reshard is
+        # closed-form — each shard scans with a ZERO initial carry,
+        # publishes its fold via all_gather ([n_time, C] of tiny rows
+        # over ICI), computes its true initial carry as a decayed
+        # prefix sum, and corrects its outputs analytically:
+        #   carry_n = a^(n+1)·c0 + z_n  ⇒  out_n = out_zero_n − a^(n+1)·c0
+        alpha = jnp.float32(0.9995)
+        mag = jnp.abs(y)
+        t_len = mag.shape[1]
+
+        def dc_step(carry, m):
+            carry = alpha * carry + (1 - alpha) * m
+            return carry, m - carry
+
+        zfold, a_zero = jax.lax.scan(dc_step,
+                                     jnp.zeros_like(state["dc"]),
+                                     jnp.transpose(mag))
+        all_b = jax.lax.all_gather(zfold, "time")      # [n_time, C]
+        decay_t = alpha ** t_len
+        s_idx = jnp.arange(n_time, dtype=jnp.float32)
+        tf = t_idx.astype(jnp.float32)
+        w = jnp.where(s_idx < tf, decay_t ** (tf - 1.0 - s_idx), 0.0)
+        c0 = decay_t ** tf * state["dc"] + w @ all_b
+        ramp = alpha ** jnp.arange(1, t_len + 1, dtype=jnp.float32)
+        a = jnp.transpose(a_zero) - ramp[None, :] * c0[:, None]
+        state["dc"] = bcast_last(decay_t * c0 + zfold)
+        # audio FIR halo, as in the FM branch
+        right = [(i, (i + 1) % n_time) for i in range(n_time)]
+        k1 = cfg.audio_taps - 1
+        left_a = jax.lax.ppermute(a[:, -k1:], "time", perm=right)
+        atail = jnp.where(t_idx == 0, state["lpf_tail"].real, left_a)
+        from sigdigger_tpu.dsp.filters import _conv_real
+        audio = _conv_real(jnp.concatenate([atail, a], axis=1),
+                           consts["audio_taps"])
+        state["lpf_tail"] = bcast_last(
+            jnp.asarray(a[:, -k1:], jnp.complex64))
+        outputs = {"audio": audio}
+    elif cfg.demod == "psk" and handoff == "exact" and n_time > 1:
+        # EXACT sequential handoff for the recurrent loop chain
+        # (AGC→Costas→MF→Gardner): time shards take turns — every
+        # shard runs the demod each stage (SPMD), shard s adopts its
+        # outputs on its turn, and its final loop state is broadcast
+        # (masked psum over ICI) as the next shard's initial state.
+        # Cost: the demod stage serializes (×n_time); the FFT/
+        # channelize stages above stay fully parallel.  This is the
+        # validation-grade mode; `replica` restores full parallelism
+        # with per-shard re-acquisition (SURVEY.md §5.7 deviation).
+        def bcast_from(sel, v):
+            if v.dtype == jnp.bool_:
+                p = jnp.where(sel, v.astype(jnp.int32),
+                              jnp.zeros(v.shape, jnp.int32))
+                return jax.lax.psum(p, "time").astype(jnp.bool_)
+            return jax.lax.psum(jnp.where(sel, v, jnp.zeros_like(v)),
+                                "time")
+
+        rec_keys = [k for k in ("agc", "costas", "mf_tail", "clock")
+                    if k in state]
+        rec = {k: state[k] for k in rec_keys}
+        outputs = None
+        for s in range(n_time):
+            st = dict(state)
+            st.update(rec)
+            st2, out = _DEMODS["psk"](cfg, consts, st, y)
+            take = t_idx == s
+            outputs = out if outputs is None else jax.tree.map(
+                lambda new, old: jnp.where(take, new, old),
+                out, outputs)
+            sel = take
+            rec = {k: jax.tree.map(lambda v: bcast_from(sel, v), st2[k])
+                   for k in rec_keys}
+        state.update(rec)
     else:
         state, outputs = _DEMODS[cfg.demod](cfg, consts, state, y)
         # recurrent demod states: carry the last time shard's values (for
         # t>0 shards the within-block state is a per-shard replica —
         # documented deviation, loops re-acquire within a shard; exact
-        # with n_time=1)
+        # with n_time=1 or handoff="exact")
         for key in ("quad_prev", "lpf_tail", "dc", "agc", "costas",
                     "mf_tail", "clock"):
             if key in state:
@@ -159,8 +233,15 @@ def sharded_pipeline_step(cfg: PipelineConfig, consts: dict[str, Any],
     return state, outputs
 
 
-def shard_pipeline(cfg: PipelineConfig, mesh: Mesh):
+def shard_pipeline(cfg: PipelineConfig, mesh: Mesh,
+                   handoff: str = "replica"):
     """Build a jitted sharded step:  (consts, state, x) → (state, out).
+
+    ``handoff`` selects the cross-time-shard treatment of recurrent
+    demod state: "replica" (parallel, per-shard re-acquisition) or
+    "exact" (sequential masked handoff — bit-matches n_time=1 at the
+    cost of serializing the demod stage).  FM and AM are exact under
+    either setting (halo exchange / closed-form linear reshard).
 
     Layouts: x split on "time"; per-channel constants and all [C, ...]
     state split on "ch"; scalars and the overlap tail replicated.
@@ -198,7 +279,7 @@ def shard_pipeline(cfg: PipelineConfig, mesh: Mesh):
     def make(consts, state):
         cs, ss = build_specs(consts, state)
         fn = jax.shard_map(
-            partial(sharded_pipeline_step, cfg),
+            partial(sharded_pipeline_step, cfg, handoff=handoff),
             mesh=mesh,
             in_specs=(cs, ss, P("time")),
             out_specs=(ss, {"psd": P(),
