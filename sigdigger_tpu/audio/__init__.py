@@ -1,3 +1,7 @@
+from sigdigger_tpu.audio.alsa import AlsaPlayer
+from sigdigger_tpu.audio.alsa import (
+    register_if_available as _alsa_register,
+)
 from sigdigger_tpu.audio.playback import (
     AudioFileSaver,
     AudioPlayback,
@@ -5,7 +9,10 @@ from sigdigger_tpu.audio.playback import (
     NullAudioPlayer,
 )
 
+_alsa_register()
+
 __all__ = [
+    "AlsaPlayer",
     "AudioFileSaver",
     "AudioPlayback",
     "GenericAudioPlayer",

@@ -6,12 +6,19 @@ from sigdigger_tpu.sources.registry import (
     register_source,
     source_types,
 )
+from sigdigger_tpu.sources.soapy import SoapySource
+from sigdigger_tpu.sources.soapy import (
+    register_if_available as _soapy_register,
+)
 from sigdigger_tpu.sources.stdin_src import StdinSource
 from sigdigger_tpu.sources.synth import Emitter, SynthBandSource
 from sigdigger_tpu.sources.tonegen import ToneGenSource
 
+_soapy_register()
+
 __all__ = [
     "SignalSource",
+    "SoapySource",
     "FileSource",
     "StdinSource",
     "SynthBandSource",
