@@ -118,3 +118,86 @@ def test_doppler_sign_convention():
             break
     else:
         pytest.skip("no approaching geometry found")
+
+
+# -- SDP4 deep-space extension ---------------------------------------------
+
+# Spacetrack Report #3 SDP4 verification object (sat 11801): 10.5 h
+# period, e=0.73 — exercises dscom/dsinit/dpper without resonance.
+SDP4_TLE = """1 11801U          80230.29629788  .01431103  00000-0  14311-1    13
+2 11801  46.7916 230.4354 7318036  47.4722  10.4117  2.28537848    13"""
+
+GEO_TLE = """1 19548U 88091B   24100.50000000  .00000100  00000-0  00000-0 0    0
+2 19548   3.0000  85.0000 0002000 100.0000 200.0000  1.00273000    0"""
+
+MOLNIYA_TLE = """1 40296U 14074A   24100.50000000  .00000100  00000-0  10000-3 0    0
+2 40296  63.4000 200.0000 7400000 270.0000  10.0000  2.00600000    0"""
+
+
+def test_sdp4_report3_epoch_state():
+    """Epoch state of the classic Report #3 deep-space case.  Tolerance
+    covers the documented spread between AFSPC and improved operation
+    modes of the published model (~10 km at epoch)."""
+    t = parse_tle(fix_checksums(SDP4_TLE))[0]
+    model = SGP4(t)
+    assert model.deep_space and model.irez == 0
+    sv = model.propagate(0.0)
+    ref_r = np.array([7473.37, 428.95, 5828.75])
+    ref_v = np.array([5.107154, 6.444683, -0.186131])
+    assert np.linalg.norm(sv.position - ref_r) < 25.0
+    assert np.linalg.norm(sv.velocity - ref_v) < 0.02
+
+
+def test_sdp4_orbit_stays_bounded():
+    t = parse_tle(fix_checksums(SDP4_TLE))[0]
+    model = SGP4(t)
+    r = np.array([np.linalg.norm(model.propagate(tm).position)
+                  for tm in np.arange(0.0, 1441.0, 20.0)])
+    # a(1-e) ~ 6695 km, a(1+e) ~ 43230 km for these elements
+    assert 6400 < r.min() < 7100
+    assert 42000 < r.max() < 46000
+
+
+def test_sdp4_geosync_resonance():
+    """24 h resonance path (irez=1): radius pinned at the geostationary
+    value over 3 days."""
+    t = parse_tle(fix_checksums(GEO_TLE))[0]
+    model = SGP4(t)
+    assert model.deep_space and model.irez == 1
+    r = np.array([np.linalg.norm(model.propagate(tm).position)
+                  for tm in np.arange(0.0, 4320.0, 60.0)])
+    assert 42050 < r.min() and r.max() < 42280
+
+
+def test_sdp4_molniya_resonance():
+    """12 h resonance path (irez=2): bounded over 3 days, smooth across
+    the 720 min integrator step, and propagates backwards."""
+    t = parse_tle(fix_checksums(MOLNIYA_TLE))[0]
+    model = SGP4(t)
+    assert model.deep_space and model.irez == 2
+    r = np.array([np.linalg.norm(model.propagate(tm).position)
+                  for tm in np.arange(0.0, 4320.0, 15.0)])
+    assert 6600 < r.min() < 7300        # perigee ~550 km altitude
+    assert 45000 < r.max() < 47500      # apogee
+    # velocity-consistent continuity across the integrator boundary
+    dt_min = 0.2
+    a = model.propagate(720.0 - dt_min / 2)
+    b = model.propagate(720.0 + dt_min / 2)
+    dr = np.linalg.norm(b.position - a.position)
+    v = np.linalg.norm(a.velocity)
+    assert dr < 1.5 * v * dt_min * 60.0 + 1.0
+    back = model.propagate(-800.0)
+    assert np.isfinite(back.position).all()
+    assert 6400 < np.linalg.norm(back.position) < 47500
+
+
+def test_sdp4_predictor_integration():
+    """OrbitPredictor accepts a deep-space TLE (reference accepts any
+    TLE via orbit_init_from_data, include/Suscan/Library.h:154-250)."""
+    t = parse_tle(fix_checksums(GEO_TLE))[0]
+    pred = OrbitPredictor(t, lat_deg=0.0, lon_deg=80.0)
+    info = pred.predict(t.epoch_unix + 3600.0, 4e9)
+    assert np.isfinite(info.doppler_hz)
+    # geostationary: range rate is tiny
+    assert abs(info.range_rate_kms) < 0.05
+    assert 35000 < info.range_km < 43000
