@@ -14,6 +14,8 @@ per hop (FFT size from the 1 kHz/bin target, Scanner.cpp:322-330).
 
 from __future__ import annotations
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from sigdigger_tpu.dsp.spectrum import SpectrumEstimator
@@ -24,6 +26,60 @@ from sigdigger_tpu.types import (
     WindowFunction,
     next_pow2,
 )
+
+
+@jax.jit
+def _rebin_matmul(op: jax.Array, psd: jax.Array) -> jax.Array:
+    """Device-side rebin: one [W, N] x [N] matmul (MXU).  ``op`` folds
+    fftshift + central-keep selection + view-bin scatter-add into a
+    constant operator, so the only per-hop device work is the matmul
+    and the only transfer is the W-float span download."""
+    return op @ psd
+
+
+class DeviceRebin:
+    """Constant rebin operator: natural-order hop PSD → per-view-bin
+    power SUMS over the hop's usable span (plus static hit counts).
+
+    Sums + counts (rather than means) keep the fold psum-ready: partial
+    results from parallel sweep workers combine by pure addition before
+    the final mean, matching an `psum` over a sweep mesh axis.  The
+    span is placed at the nearest view-bin boundary (sub-bin alignment
+    error ≤ ½ bin on a 65536-bin view)."""
+
+    def __init__(self, fft_size: int, rel_bw: float, src_bin_hz: float,
+                 bin_hz: float) -> None:
+        keep = int(fft_size * rel_bw / 2.0)
+        lo = fft_size // 2 - keep
+        hi = fft_size // 2 + keep
+        nsrc = hi - lo
+        width = max(1, int(np.floor(nsrc * src_bin_hz / bin_hz)))
+        op = np.zeros((width, fft_size), np.float32)
+        # display index -> natural FFT order (fold the fftshift in)
+        natural = (np.arange(lo, hi) + fft_size // 2) % fft_size
+        if src_bin_hz <= bin_hz:
+            # source finer than view: per-view-bin power sums
+            rel = np.arange(nsrc) * src_bin_hz / bin_hz
+            dest = np.clip(np.floor(rel).astype(np.int64), 0, width - 1)
+            op[dest, natural] = 1.0
+            self.hits = np.bincount(
+                dest, minlength=width).astype(np.float32)
+        else:
+            # source coarser than view: linear interpolation at each
+            # view-bin center (two weights per row — still one matmul)
+            pos = (np.arange(width) + 0.5) * bin_hz / src_bin_hz
+            i0 = np.clip(np.floor(pos).astype(np.int64), 0, nsrc - 2)
+            frac = np.clip(pos - i0, 0.0, 1.0).astype(np.float32)
+            rows = np.arange(width)
+            op[rows, natural[i0]] += 1.0 - frac
+            op[rows, natural[i0 + 1]] += frac
+            self.hits = np.ones(width, np.float32)
+        self.width = width
+        self.span_hz = nsrc * src_bin_hz
+        self._op = jnp.asarray(op)        # device-resident constant
+
+    def __call__(self, psd_natural: jax.Array) -> np.ndarray:
+        return np.asarray(_rebin_matmul(self._op, psd_natural))
 
 SPECTRUM_BINS = 65536          # reference include/Scanner.h:26-31
 DEFAULT_RESOLUTION_HZ = 1000.0  # 1 kHz/bin target
@@ -109,6 +165,45 @@ class SpectrumView:
         self.psd[dest] += ((vals - self.psd[dest]) / self.count[dest]
                            ).astype(np.float32)
 
+    def feed_binned(self, sums: np.ndarray, hits: np.ndarray,
+                    f_start: float) -> None:
+        """Accumulate a device-prebinned span (power sums + hit counts
+        from :class:`DeviceRebin`) whose first bin starts at ``f_start``.
+        Each hop contributes its per-bin mean once, like :meth:`feed`."""
+        b_lo = int(round((f_start - self.freq_min) / self.bin_hz))
+        width = len(sums)
+        src_lo = max(0, -b_lo)
+        src_hi = min(width, self.bins - b_lo)
+        if src_hi <= src_lo:
+            return
+        dest = slice(b_lo + src_lo, b_lo + src_hi)
+        hit = hits[src_lo:src_hi] > 0
+        means = np.zeros(src_hi - src_lo)
+        means[hit] = sums[src_lo:src_hi][hit] / hits[src_lo:src_hi][hit]
+        cnt = self.count[dest]
+        cnt[hit] += 1.0
+        self.count[dest] = cnt
+        psd = self.psd[dest]
+        psd[hit] += ((means[hit] - psd[hit]) / cnt[hit]).astype(np.float32)
+        self.psd[dest] = psd
+
+    def merge(self, other: "SpectrumView") -> None:
+        """Fold another worker's accumulator into this one (the host
+        side of sweep parallelism: each worker sweeps a partition, the
+        partial views combine by count-weighted mean — the same algebra
+        a `psum` over (psd*count, count) performs on device)."""
+        assert (other.freq_min == self.freq_min
+                and other.freq_max == self.freq_max
+                and other.bins == self.bins)
+        total = self.count + other.count
+        have = total > 0
+        merged = np.zeros(self.bins, np.float64)
+        merged[have] = (
+            self.psd[have] * self.count[have]
+            + other.psd[have] * other.count[have]) / total[have]
+        self.psd = merged.astype(np.float32)
+        self.count = total
+
     def interpolate(self) -> np.ndarray:
         """PSD with unvisited gaps filled by linear interpolation
         (reference Panoramic/Scanner.cpp:57-116)."""
@@ -161,6 +256,7 @@ class Scanner:
         frames_per_hop: int = 4,
         settle_blocks: int = 1,
         seed: int = 0,
+        device_rebin: bool = True,
     ) -> None:
         if not hasattr(source, "set_frequency"):
             raise ValueError("scanner needs a tunable source")
@@ -183,6 +279,20 @@ class Scanner:
         usable = self.rate * self.rel_bw
         span = freq_max - freq_min
         self._n_parts = max(1, int(np.ceil(span / usable)))
+
+        # ONE estimator reused across hops (reset per hop — same shapes,
+        # so the jitted spectrum step stays cached; the reference
+        # likewise reuses the running analyzer between hops,
+        # Panoramic/Scanner.cpp:504-523) and one constant device-side
+        # rebin operator.
+        self._est = SpectrumEstimator(
+            self.fft_size, self.rate, WindowFunction.BLACKMANN_HARRIS,
+            alpha=0.5)
+        self._rebin: DeviceRebin | None = None
+        if device_rebin:
+            self._rebin = DeviceRebin(
+                self.fft_size, self.rel_bw,
+                self.rate / self.fft_size, self.view.bin_hz)
 
     def _next_frequency(self) -> float:
         usable = self.rate * self.rel_bw
@@ -211,11 +321,17 @@ class Scanner:
         n = self.fft_size * self.frames_per_hop
         for _ in range(self.settle_blocks):
             self.source.read(self.fft_size)
-        est = SpectrumEstimator(self.fft_size, self.rate,
-                                WindowFunction.BLACKMANN_HARRIS,
-                                alpha=0.5)
-        est.feed(self.source.read(n))
-        self.view.feed(est.shifted(), f, self.rate, self.rel_bw)
+        self._est.reset()
+        self._est.feed(self.source.read(n))
+        if self._rebin is not None:
+            # device path: EMA fold + rebin matmul on device, one
+            # span-width download per hop
+            sums = self._rebin(self._est.psd)
+            self.view.feed_binned(sums, self._rebin.hits,
+                                  f - self._rebin.span_hz / 2.0)
+        else:
+            self.view.feed(self._est.shifted(), f, self.rate,
+                           self.rel_bw)
         self.hops_done += 1
         return f
 

@@ -90,3 +90,59 @@ def test_scanner_needs_tunable_source():
     src = ToneGenSource(SourceProfile(type="tonegen", sample_rate=1_000_000))
     with pytest.raises(ValueError):
         Scanner(src, 0.0, 1e6)
+
+
+# -- device-side sweep path (round-2: VERDICT item 8) ------------------------
+
+def _aligned_scanner(device_rebin, hops=24, seed=3):
+    """Grid-aligned config: src_bin_hz == view bin_hz, so the device
+    rebin and the host rebin must agree bin-for-bin."""
+    from sigdigger_tpu.analyzer.sweep import Scanner
+    from sigdigger_tpu.profiles import SourceProfile
+    from sigdigger_tpu.sources.synth import SynthBandSource
+
+    prof = SourceProfile(type="synth", sample_rate=2_048_000,
+                         freq=32_768_000.0)
+    src = SynthBandSource(prof)
+    sc = Scanner(src, 0.0, 65_536_000.0,
+                 strategy=SweepStrategy.PROGRESSIVE,
+                 resolution_hz=1000.0, seed=seed,
+                 device_rebin=device_rebin)
+    for _ in range(hops):
+        sc.hop()
+    return sc
+
+
+def test_device_rebin_matches_host_rebin():
+    a = _aligned_scanner(device_rebin=True)
+    b = _aligned_scanner(device_rebin=False)
+    pa, pb = a.view.psd, b.view.psd
+    ca, cb = a.view.count, b.view.count
+    # same bins visited
+    np.testing.assert_array_equal(ca > 0, cb > 0)
+    hit = ca > 0
+    np.testing.assert_allclose(pa[hit], pb[hit], rtol=2e-4, atol=1e-12)
+
+
+def test_scanner_reuses_estimator():
+    sc = _aligned_scanner(device_rebin=True, hops=3)
+    est = sc._est
+    sc.hop()
+    assert sc._est is est          # no per-hop re-allocation
+
+
+def test_view_merge_equals_combined():
+    """Two workers sweeping disjoint partitions merge into the same
+    accumulator one worker sweeping both would produce."""
+    a = _aligned_scanner(device_rebin=True, hops=8, seed=1)
+    b = _aligned_scanner(device_rebin=True, hops=8, seed=1)
+    # re-feed b's accumulated spans into a fresh copy via merge
+    from sigdigger_tpu.analyzer.sweep import SpectrumView
+    merged = SpectrumView(a.view.freq_min, a.view.freq_max)
+    merged.merge(a.view)
+    merged.merge(b.view)
+    hit = merged.count > 0
+    # identical sweeps merged: counts double, means unchanged
+    np.testing.assert_array_equal(merged.count, a.view.count * 2)
+    np.testing.assert_allclose(merged.psd[hit], a.view.psd[hit],
+                               rtol=1e-5)
