@@ -10,6 +10,7 @@ from sigdigger_tpu.dsp.decider import (
     symbols_to_bits,
 )
 from sigdigger_tpu.dsp.filters import FirFilter, fir_apply, fir_lowpass, rrc_taps
+from sigdigger_tpu.dsp.iir import IIRFilter, butterworth_sos, notch_sos
 from sigdigger_tpu.dsp.ncqo import NCQO, mix_frequency
 from sigdigger_tpu.dsp.pll import PLL, CostasLoop, loop_gains
 from sigdigger_tpu.dsp.quad import QuadDemod, quad_demod
@@ -24,6 +25,9 @@ __all__ = [
     "CostasLoop",
     "DecisionSpace",
     "FirFilter",
+    "IIRFilter",
+    "butterworth_sos",
+    "notch_sos",
     "GardnerClock",
     "NCQO",
     "PLL",

@@ -61,6 +61,66 @@ class AutoGain:
         return dict(self.table[level])
 
 
+@dataclass
+class FrequencyAllocation:
+    """One band in a frequency allocation table (reference FACTab /
+    Singleton::init_fats, include/Suscan/Library.h:316-332)."""
+
+    f_min: float
+    f_max: float
+    name: str
+    use: str = ""           # primary use (broadcast, amateur, ISM, …)
+
+    def contains(self, freq: float) -> bool:
+        return self.f_min <= freq < self.f_max
+
+
+@dataclass
+class FrequencyAllocationTable:
+    """A named band plan (the reference ships FATs as bundled files and
+    registers them in the Singleton for MainSpectrum overlays)."""
+
+    name: str
+    allocations: list[FrequencyAllocation] = field(default_factory=list)
+
+    def lookup(self, freq: float) -> list[FrequencyAllocation]:
+        return [a for a in self.allocations if a.contains(freq)]
+
+    def in_range(self, f_lo: float,
+                 f_hi: float) -> list[FrequencyAllocation]:
+        return [a for a in self.allocations
+                if a.f_max > f_lo and a.f_min < f_hi]
+
+
+def _builtin_fats() -> dict[str, FrequencyAllocationTable]:
+    """Abbreviated ITU region-1 style band plan — the built-in FAT the
+    reference loads at init (Library.h init_fats)."""
+    general = [
+        FrequencyAllocation(148.5e3, 283.5e3, "LW broadcast", "broadcast"),
+        FrequencyAllocation(526.5e3, 1606.5e3, "MW broadcast", "broadcast"),
+        FrequencyAllocation(1.810e6, 2.000e6, "160 m amateur", "amateur"),
+        FrequencyAllocation(3.500e6, 3.800e6, "80 m amateur", "amateur"),
+        FrequencyAllocation(7.000e6, 7.200e6, "40 m amateur", "amateur"),
+        FrequencyAllocation(13.553e6, 13.567e6, "ISM 13 MHz", "ISM"),
+        FrequencyAllocation(14.000e6, 14.350e6, "20 m amateur", "amateur"),
+        FrequencyAllocation(21.000e6, 21.450e6, "15 m amateur", "amateur"),
+        FrequencyAllocation(26.957e6, 27.283e6, "CB / ISM 27 MHz", "ISM"),
+        FrequencyAllocation(28.000e6, 29.700e6, "10 m amateur", "amateur"),
+        FrequencyAllocation(50.0e6, 52.0e6, "6 m amateur", "amateur"),
+        FrequencyAllocation(87.5e6, 108.0e6, "FM broadcast", "broadcast"),
+        FrequencyAllocation(108.0e6, 137.0e6, "Airband", "aeronautical"),
+        FrequencyAllocation(144.0e6, 146.0e6, "2 m amateur", "amateur"),
+        FrequencyAllocation(156.0e6, 162.025e6, "Marine VHF", "maritime"),
+        FrequencyAllocation(430.0e6, 440.0e6, "70 cm amateur", "amateur"),
+        FrequencyAllocation(433.05e6, 434.79e6, "ISM 433 MHz", "ISM"),
+        FrequencyAllocation(868.0e6, 870.0e6, "SRD 868 MHz", "ISM"),
+        FrequencyAllocation(1.090e9, 1.090e9 + 2e6, "ADS-B", "aeronautical"),
+        FrequencyAllocation(2.400e9, 2.4835e9, "ISM 2.4 GHz", "ISM"),
+    ]
+    table = FrequencyAllocationTable("general", general)
+    return {table.name: table}
+
+
 class Library:
     """Process-wide singleton (``Library.instance()``)."""
 
@@ -85,6 +145,7 @@ class Library:
         self.autogains: dict[str, AutoGain] = {}
         self.ui_config: dict[str, Any] = {}
         self.recent: list[str] = []
+        self.fats: dict[str, FrequencyAllocationTable] = _builtin_fats()
 
     # -- singleton ---------------------------------------------------------
     @classmethod
@@ -129,6 +190,17 @@ class Library:
 
     def register_autogain(self, ag: AutoGain) -> None:
         self.autogains[f"{ag.driver}:{ag.name}"] = ag
+
+    def register_fat(self, table: FrequencyAllocationTable) -> None:
+        self.fats[table.name] = table
+
+    def find_allocations(self, freq: float) -> list[FrequencyAllocation]:
+        """All bands containing ``freq`` across registered FATs (feeds
+        the spectrum overlay, reference Components/MainSpectrum)."""
+        out: list[FrequencyAllocation] = []
+        for table in self.fats.values():
+            out.extend(table.lookup(freq))
+        return out
 
     def push_recent(self, path: str, limit: int = 10) -> None:
         if path in self.recent:
