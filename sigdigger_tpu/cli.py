@@ -157,13 +157,65 @@ def cmd_symbols(args) -> int:
                 ids = m.extras["symbols"]
                 symbols.append(ids[st] if st is not None else ids)
     out = np.concatenate(symbols) if symbols else np.zeros(0, np.uint8)
+    if getattr(args, "symview", None):
+        from sigdigger_tpu.utils.symview import SymView
+
+        sv = SymView(bits_per_symbol=args.bps)
+        sv.feed(out)
+        sv.autofit()
+        sv.save_png(args.symview)
+        print(f"wrote {args.symview}: {len(out)} symbols, "
+              f"width {sv.width}")
     if args.output:
         out.tofile(args.output)
         print(f"wrote {args.output}: {len(out)} symbols")
-    else:
+    elif not getattr(args, "symview", None):
         sys.stdout.write("".join(str(int(s)) for s in out[:10000]))
         sys.stdout.write("\n")
     return 0
+
+
+def cmd_tv(args) -> int:
+    """Analog TV decode: FM/AM luminance → TVProcessor → frame PNGs
+    (reference Default/GenericInspector TVProcessorTab, headless)."""
+    from sigdigger_tpu.analyzer import Analyzer, MessageKind
+    from sigdigger_tpu.dsp.tv import TVProcessor, TVProcessorParams
+    from sigdigger_tpu.sources import guess_metadata
+    from sigdigger_tpu.types import AnalyzerParams, Channel
+    from sigdigger_tpu.utils.waterfall import write_png
+
+    prof = guess_metadata(args.file)
+    if args.rate:
+        prof.sample_rate = int(args.rate)
+    an = Analyzer(profile=prof,
+                  params=AnalyzerParams(psd_update_interval=1e9))
+    mode = {"am": 1, "fm": 2}[args.mode]
+    an.open_inspector(
+        "audio", Channel(fc=args.freq, bw=args.bw),
+        config={"audio.demodulator": mode,
+                "audio.sample-rate": int(args.video_rate),
+                "audio.cutoff": args.bw / 2,
+                "audio.volume": 1.0, "agc.enabled": False})
+    tv = TVProcessor(TVProcessorParams(
+        sample_rate=float(args.video_rate), line_rate=args.line_rate,
+        lines_per_frame=args.lines, pixels_per_line=args.pixels,
+        invert=args.invert))
+    saved = 0
+    while an.step() and saved < args.max_frames:
+        for m in an.poll():
+            if m.kind != MessageKind.SAMPLES:
+                continue
+            for frame in tv.feed(np.real(m.samples)):
+                rgb = np.repeat(
+                    np.clip(frame * 255.0, 0, 255
+                            ).astype(np.uint8)[:, :, None], 3, axis=2)
+                path = f"{args.output_prefix}{saved:04d}.png"
+                write_png(path, rgb)
+                saved += 1
+                if saved >= args.max_frames:
+                    break
+    print(f"decoded {saved} frames -> {args.output_prefix}NNNN.png")
+    return 0 if saved else 1
 
 
 def cmd_rms(args) -> int:
@@ -283,7 +335,23 @@ def build_parser() -> argparse.ArgumentParser:
     ps.add_argument("--bps", type=int, default=1)
     ps.add_argument("--rate", type=float)
     ps.add_argument("-o", "--output")
+    ps.add_argument("--symview", help="SymView raster PNG output path")
     ps.set_defaults(fn=cmd_symbols)
+
+    pt = sub.add_parser("tv", help="analog TV decode to frame PNGs")
+    pt.add_argument("file")
+    pt.add_argument("--freq", type=float, required=True)
+    pt.add_argument("--bw", type=float, default=6e6)
+    pt.add_argument("--mode", choices=["am", "fm"], default="am")
+    pt.add_argument("--rate", type=float)
+    pt.add_argument("--video-rate", type=float, default=8e6)
+    pt.add_argument("--line-rate", type=float, default=15625.0)
+    pt.add_argument("--lines", type=int, default=312)
+    pt.add_argument("--pixels", type=int, default=384)
+    pt.add_argument("--invert", action="store_true")
+    pt.add_argument("--max-frames", type=int, default=25)
+    pt.add_argument("-o", "--output-prefix", default="frame_")
+    pt.set_defaults(fn=cmd_tv)
 
     pr = sub.add_parser("rms", help="power log to CSV")
     pr.add_argument("file")
