@@ -154,9 +154,14 @@ class IIRFilter:
 
     def __call__(self, x: np.ndarray) -> np.ndarray:
         x = np.asarray(x)
+        want = np.complex128 if np.iscomplexobj(x) else np.float64
         if self._zi is None:
-            self._zi = np.zeros((len(self.sos), 2), x.dtype if
-                                np.iscomplexobj(x) else np.float64)
+            self._zi = np.zeros((len(self.sos), 2), want)
+        elif not np.can_cast(want, self._zi.dtype):
+            # first block was real, this one is complex: promote the
+            # carried state so its imaginary part is not discarded
+            self._zi = self._zi.astype(
+                np.result_type(self._zi.dtype, want))
         if _sosfilt is not None:
             y, self._zi = _sosfilt(self.sos, x, zi=self._zi)
             return y

@@ -219,8 +219,10 @@ class SGP4:
         x3thm1 = 3.0 * theta2 - 1.0
         x1mth2 = 1.0 - theta2
         x7thm1 = 7.0 * theta2 - 1.0
+        # denominator floor guards retrograde incl near 180 deg
+        # (reachable since SDP4 periodics perturb incl per call)
         xlcof = 0.125 * _A3OVK2 * sinio * \
-            (3.0 + 5.0 * cosio) / (1.0 + cosio)
+            (3.0 + 5.0 * cosio) / max(1.0 + cosio, 1.5e-12)
         aycof = 0.25 * _A3OVK2 * sinio
         beta = np.sqrt(1.0 - e * e)
         xn = _XKE / a ** 1.5
@@ -333,8 +335,10 @@ class SGP4:
         self.gsto = gmst(tle.epoch_unix)
 
         # ---- dscom: lunar & solar geometry at epoch ----
-        # days since 1949 December 31 00:00 UT
-        day = tle.epoch_unix / 86400.0 + 2440587.5 - 2433281.5
+        # days since 1900 Jan 0.5 (JD 2415020.0) — the epoch the
+        # Spacetrack/Vallado lunar-solar polynomials (xnodce, gam,
+        # zmol, zmos) are referenced to
+        day = tle.epoch_unix / 86400.0 + 2440587.5 - 2415020.0
         xnodce = np.fmod(4.5236020 - 9.2422029e-4 * day, _TWO_PI)
         stem, ctem = np.sin(xnodce), np.cos(xnodce)
         zcosil = 0.91375164 - 0.03568096 * ctem

@@ -92,3 +92,24 @@ def test_design_validation():
         butterworth_sos(3, 0.2, kind="bandpass")  # missing f2
     with pytest.raises(ValueError):
         IIRFilter(np.zeros((2, 5)))
+
+
+def test_state_promotes_real_to_complex():
+    """A real first block must not freeze the carried state real: a
+    later complex block's state carry keeps its imaginary part."""
+    fs = 48_000.0
+    sos = butterworth_sos(4, 4_000.0, fs=fs)
+    n = 4096
+    t = np.arange(2 * n) / fs
+    x = np.exp(2j * np.pi * 1_000.0 * t).astype(np.complex128)
+
+    mixed = IIRFilter(sos)
+    y0 = mixed(x[:n].real.copy())          # real first block
+    y1 = mixed(x[n:])                      # complex second block
+
+    ref = IIRFilter(sos)
+    r0 = ref(x[:n].real.astype(np.complex128))
+    r1 = ref(x[n:])
+    assert np.allclose(y0, r0.real, atol=1e-12)
+    assert np.allclose(y1, r1, atol=1e-12)
+    assert np.abs(y1.imag[-100:]).max() > 0.1
