@@ -140,11 +140,12 @@ class KernelAnalyzer(Analyzer):
     def __init__(self, profile=None, params=None, source=None,
                  block_size: int | None = None, n_slots: int = 128,
                  decimation: int = 64, audio_decim: int = 8,
-                 interpret: bool | None = None) -> None:
+                 interpret: bool | None = None, mesh=None) -> None:
         self._n_slots = int(n_slots)
         self._decimation = int(decimation)
         self._audio_decim = int(audio_decim)
         self._interpret = interpret
+        self._mesh = mesh
         super().__init__(profile=profile, params=params, source=source,
                          block_size=block_size)
 
@@ -167,10 +168,20 @@ class KernelAnalyzer(Analyzer):
                 f"decimation {self._audio_decim}")
         tile = 128 if self._n_slots % 128 == 0 else self._n_slots
 
+        n_mesh = self._mesh.shape["ch"] if self._mesh is not None else 1
+        if self._n_slots % max(n_mesh, 1):
+            raise ValueError(
+                f"n_slots {self._n_slots} must be a multiple of the "
+                f"mesh size {n_mesh}")
         frames = self.block_size // w
+        if frames % max(n_mesh, 1):
+            raise ValueError(
+                f"PSD frames per block {frames} must be a multiple of "
+                f"the mesh size {n_mesh}")
         self._spectrum = PallasPSD(
-            PallasPSDConfig(fft_size=w, frames_per_block=frames,
-                            frames_per_program=_largest_divisor(frames, 8)),
+            PallasPSDConfig(
+                fft_size=w, frames_per_block=frames,
+                frames_per_program=_largest_divisor(frames // n_mesh, 8)),
             rate, self.params.window_function,
             alpha=self.params.spectrum_avg_alpha,
             interpret=self._interpret,
@@ -189,6 +200,21 @@ class KernelAnalyzer(Analyzer):
             n_channels=self._n_slots, block_len=block_out,
             channel_tile=tile,
         ), interpret=self._interpret)
+        if self._mesh is not None:
+            # scale-out: channel-shard the banks, frame-shard the PSD
+            # (parallel/banks.py; zero per-step comm on the channel
+            # axis, one [A, B] psum for the PSD fold)
+            from sigdigger_tpu.parallel.banks import (
+                shard_audio_bank,
+                shard_psd,
+                shard_raw_bank,
+                shard_recovery_bank,
+            )
+
+            shard_psd(self._spectrum, self._mesh)
+            shard_audio_bank(self._audio_bank, self._mesh)
+            shard_raw_bank(self._raw_bank, self._mesh)
+            shard_recovery_bank(self._rec_bank, self._mesh)
         self._channelizer = None          # base machinery unused
         self._kslots: dict[int, _KernelSlotExtra] = {}
         self._free_slots = list(range(self._n_slots - 1, -1, -1))

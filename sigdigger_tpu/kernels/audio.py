@@ -308,6 +308,7 @@ class AudioBank:
         if interpret is None:
             interpret = jax.default_backend() not in ("tpu", "axon")
         self.interpret = interpret
+        self.sharding = None          # set by parallel.banks.shard_*
         c = cfg.n_channels
 
         # host mirrors of per-channel configuration
@@ -442,38 +443,46 @@ class AudioBank:
         self._taps2[:, idx] = np.where(is_raw, delta[:, None],
                                        t2).astype(np.float32)
 
+    def _dev(self, a: np.ndarray):
+        """Upload a per-channel constant plane honoring the bank's
+        sharding (set by parallel.banks when the bank is sharded)."""
+        if self.sharding is not None:
+            return jax.device_put(a, self.sharding)
+        return jnp.asarray(a)
+
     def _upload_params(self) -> None:
         mode = self._mode
         self.consts = {
-            "h_re": jnp.asarray(self._h.real.astype(np.float32)),
-            "h_im": jnp.asarray(self._h.imag.astype(np.float32)),
-            "theta": jnp.asarray(
+            "h_re": self._dev(self._h.real.astype(np.float32)),
+            "h_im": self._dev(self._h.imag.astype(np.float32)),
+            "theta": self._dev(
                 self._theta64.astype(np.float32)[None, :]),
-            "omega_a": jnp.asarray(
+            "omega_a": self._dev(
                 self._omega_a64.astype(np.float32)[None, :]),
-            "taps2": jnp.asarray(self._taps2),
-            "w_fm": jnp.asarray(
+            "taps2": self._dev(self._taps2),
+            "w_fm": self._dev(
                 (mode == MODE_FM).astype(np.float32)[None, :]),
-            "w_am": jnp.asarray(
+            "w_am": self._dev(
                 (mode == MODE_AM).astype(np.float32)[None, :]),
-            "w_re1": jnp.asarray(
+            "w_re1": self._dev(
                 (mode == MODE_RAW).astype(np.float32)[None, :]),
-            "w_ssb": jnp.asarray(np.isin(
+            "w_ssb": self._dev(np.isin(
                 mode, (MODE_USB, MODE_LSB)).astype(np.float32)[None, :]),
-            "agc_w": jnp.asarray(
+            "agc_w": self._dev(
                 self._agc.astype(np.float32)[None, :]),
-            "vol": jnp.asarray(np.where(
+            "vol": self._dev(np.where(
                 mode == MODE_DISABLED, 0.0, self._volume
             ).astype(np.float32)[None, :]),
-            "sq_w": jnp.asarray(
+            "sq_w": self._dev(
                 self._squelch.astype(np.float32)[None, :]),
-            "sq_level": jnp.asarray(
+            "sq_level": self._dev(
                 self._sq_level.astype(np.float32)[None, :]),
         }
 
     # ------------------------------------------------------------------
-    def _build(self):
-        cfg = self.cfg
+    def _build(self, cfg: AudioBankConfig | None = None,
+               jit: bool = True):
+        cfg = cfg or self.cfg
         ct, mt, ka, k = (cfg.channel_tile, cfg.m_tile, cfg.audio_taps,
                          cfg.taps)
         ka2 = cfg.audio_fir_taps
@@ -575,7 +584,7 @@ class AudioBank:
             ],
             interpret=self.interpret,
         )
-        return jax.jit(call)
+        return jax.jit(call) if jit else call
 
     # ------------------------------------------------------------------
     def _phase_tiles(self, base: np.ndarray, rate: np.ndarray,

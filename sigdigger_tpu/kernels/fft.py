@@ -127,6 +127,18 @@ class PallasPSD:
         self._const = (jnp.asarray(da_re), jnp.asarray(da_im),
                        jnp.asarray(tw_re), jnp.asarray(tw_im),
                        jnp.asarray(db_re), jnp.asarray(db_im))
+        self._scale = scale
+        self.interpret = interpret
+        self._call = self._build(cfg, scale)
+        self.psd = np.zeros(n, np.float64)
+        self._count = 0
+
+    def _build(self, cfg: PallasPSDConfig, scale: float,
+               jit: bool = True):
+        """Build the pallas_call for ``cfg`` (which may be a local,
+        frame-sharded slice of the full block) with an explicit
+        ``scale`` so sharded partial sums psum to the global mean."""
+        a, b, fb = cfg.a, cfg.b, cfg.frames_per_program
         n_prog = cfg.frames_per_block // fb
         grid_spec = pl.GridSpec(
             grid=(n_prog,),
@@ -153,14 +165,13 @@ class PallasPSD:
             out_specs=pl.BlockSpec((a, b), lambda i: (0, 0),
                                    memory_space=pltpu.VMEM),
         )
-        self._call = jax.jit(pl.pallas_call(
+        call = pl.pallas_call(
             partial(_psd_kernel, a=a, b=b, fb=fb, scale=scale),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((a, b), jnp.float32),
-            interpret=interpret,
-        ))
-        self.psd = np.zeros(n, np.float64)
-        self._count = 0
+            interpret=self.interpret,
+        )
+        return jax.jit(call) if jit else call
 
     def prepare(self, x: np.ndarray) -> np.ndarray:
         """Host framing: x [block_in] complex → windowed packed

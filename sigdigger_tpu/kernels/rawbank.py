@@ -92,6 +92,7 @@ class RawBank:
         if interpret is None:
             interpret = jax.default_backend() not in ("tpu", "axon")
         self.interpret = interpret
+        self.sharding = None          # set by parallel.banks.shard_*
         c = cfg.n_channels
         self._f0 = np.zeros(c, np.float64)
         self._bw = np.full(c, cfg.channel_rate / 2.0, np.float64)
@@ -130,16 +131,23 @@ class RawBank:
         self._h[:, idx] = proto[::-1, :] * np.exp(1j * phase)
         self._theta64[idx] = np.mod(omega * cfg.decimation, _TWO_PI)
 
+    def _dev(self, a: np.ndarray):
+        """Upload a per-channel constant plane honoring the bank's
+        sharding (set by parallel.banks when the bank is sharded)."""
+        if self.sharding is not None:
+            return jax.device_put(a, self.sharding)
+        return jnp.asarray(a)
+
     def _upload(self) -> None:
         self.consts = {
-            "h_re": jnp.asarray(self._h.real.astype(np.float32)),
-            "h_im": jnp.asarray(self._h.imag.astype(np.float32)),
-            "theta": jnp.asarray(
+            "h_re": self._dev(self._h.real.astype(np.float32)),
+            "h_im": self._dev(self._h.imag.astype(np.float32)),
+            "theta": self._dev(
                 self._theta64.astype(np.float32)[None, :]),
         }
 
-    def _build(self):
-        cfg = self.cfg
+    def _build(self, cfg: RawBankConfig | None = None, jit: bool = True):
+        cfg = cfg or self.cfg
         ct, mt, k = cfg.channel_tile, cfg.m_tile, cfg.taps
         c_tiles = cfg.n_channels // ct
         m_tiles = cfg.block_out // mt
@@ -182,7 +190,7 @@ class RawBank:
             ],
             interpret=self.interpret,
         )
-        return jax.jit(call)
+        return jax.jit(call) if jit else call
 
     def _phi_tiles(self) -> np.ndarray:
         cfg = self.cfg

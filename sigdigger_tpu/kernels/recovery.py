@@ -198,6 +198,7 @@ class RecoveryBank:
         if interpret is None:
             interpret = jax.default_backend() not in ("tpu", "axon")
         self.interpret = interpret
+        self.sharding = None          # set by parallel.banks.shard_*
         c = cfg.n_channels
         k = cfg.mf_taps_max
         self.STATE_ROWS = 16 + 2 * (k - 1)
@@ -278,7 +279,10 @@ class RecoveryBank:
         order = self._order
 
         def row(v):
-            return jnp.asarray(np.asarray(v, np.float32)[None, :])
+            a = np.asarray(v, np.float32)[None, :]
+            if self.sharding is not None:
+                return jax.device_put(a, self.sharding)
+            return jnp.asarray(a)
 
         self.consts = {
             "w_psk": row(kind == KIND_PSK),
@@ -293,11 +297,14 @@ class RecoveryBank:
             "gf": row(self._clock_gain ** 2 / 4.0),
             "pmin": row(self._sps * 0.9),
             "pmax": row(self._sps * 1.1),
-            "mf": jnp.asarray(self._mf),
+            "mf": (jax.device_put(self._mf, self.sharding)
+                   if self.sharding is not None
+                   else jnp.asarray(self._mf)),
         }
 
-    def _build(self):
-        cfg = self.cfg
+    def _build(self, cfg: RecoveryBankConfig | None = None,
+               jit: bool = True):
+        cfg = cfg or self.cfg
         m, ct, k = cfg.block_len, cfg.channel_tile, cfg.mf_taps_max
         n_tiles = cfg.n_channels // ct
 
@@ -342,7 +349,7 @@ class RecoveryBank:
             ],
             interpret=self.interpret,
         )
-        return jax.jit(call)
+        return jax.jit(call) if jit else call
 
     def feed_planes(self, y_re: np.ndarray, y_im: np.ndarray):
         """[M, C] float32 channel-baseband planes (RawBank layout) →
