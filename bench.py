@@ -84,6 +84,67 @@ def bench_end_to_end(iters: int = 24) -> tuple[float, dict]:
     }
 
 
+def bench_engine(iters: int = 10) -> tuple[float, dict]:
+    """The KernelAnalyzer serving path (the dynamic analyzer engine on
+    the bank kernels): a mixed live session — 8 audio + 8 psk + 1
+    power inspectors — stepped block-by-block through the full session
+    protocol, message drain included.  This is the round-2 VERDICT ask:
+    the featured engine path measured next to the receiver path."""
+    from sigdigger_tpu.analyzer.kernel_engine import KernelAnalyzer
+    from sigdigger_tpu.profiles import SourceProfile
+    from sigdigger_tpu.sources.base import SignalSource
+    from sigdigger_tpu.types import AnalyzerParams, Channel
+
+    block = BLOCK_OUT * 64
+
+    class RingSource(SignalSource):
+        """Replays pre-generated DISTINCT blocks (tunnel caches repeat
+        content) with zero per-read generation cost."""
+
+        def __init__(self, profile, blocks):
+            super().__init__(profile)
+            self._blocks = blocks
+            self._i = 0
+
+        def _read_impl(self, n):
+            b = self._blocks[self._i % len(self._blocks)]
+            self._i += 1
+            assert len(b) == n
+            return b
+
+    prof = SourceProfile(type="synth", sample_rate=int(SAMPLE_RATE))
+    src = RingSource(prof, _make_blocks(block, n=iters + 2))
+    params = AnalyzerParams()
+    params.window_size = PSD_FFT
+    an = KernelAnalyzer(source=src, params=params, block_size=block,
+                        n_slots=128, decimation=64, audio_decim=8,
+                        interpret=False)
+    for i in range(8):
+        an.open_inspector(
+            "audio", Channel(fc=-40e6 + i * 3e6, bw=200e3),
+            config={"audio.demodulator": 2, "audio.volume": 1.0,
+                    "audio.sample-rate": an.audio_rate})
+    for i in range(8):
+        an.open_inspector(
+            "psk", Channel(fc=5e6 + i * 2e6, bw=400e3),
+            config={"afc.bits-per-symbol": 2,
+                    "clock.baud": an.channel_rate / 8.0})
+    an.open_inspector("power", Channel(fc=0.0, bw=1e6))
+    an.poll()
+    for _ in range(2):                       # warm + state settle
+        an.step()
+        an.poll()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        an.step()
+        an.poll()
+    dt = (time.perf_counter() - t0) / iters
+    return block / dt / 1e6, {
+        "engine_ms_per_block": round(dt * 1e3, 2),
+        "engine_inspectors": 17,
+    }
+
+
 def bench_kernel() -> tuple[float, dict]:
     """Device-resident chained dispatches (kernel + dispatch only)."""
     import jax
@@ -202,10 +263,12 @@ def main() -> None:
         # NO fallback: a TPU-path failure must fail the bench loudly.
         kernel_msps, kextra = bench_kernel()
         e2e_msps, eextra = bench_end_to_end()
+        engine_msps, gextra = bench_engine()
         extra = {
             "end_to_end_msps": round(e2e_msps, 2),
             "kernel_msps": round(kernel_msps, 2),
-            **eextra, **kextra,
+            "engine_msps": round(engine_msps, 2),
+            **eextra, **kextra, **gextra,
             "channels": N_CHANNELS,
             "path": "pallas-fused-v2",
         }

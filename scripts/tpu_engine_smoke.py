@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Hardware proof of the KernelAnalyzer path: compile and run the
+PSD + RawBank + AudioBank + RecoveryBank kernels with interpret=False
+on the real chip, through the full session protocol, and check the
+demodulated audio is a clean tone (VERDICT r2 Missing #2).
+
+Run:  python scripts/tpu_engine_smoke.py > /tmp/tpu_engine_smoke.log
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+
+    assert jax.default_backend() in ("tpu", "axon"), jax.default_backend()
+
+    from sigdigger_tpu.analyzer.kernel_engine import KernelAnalyzer
+    from sigdigger_tpu.analyzer.messages import MessageKind
+    from sigdigger_tpu.profiles import SourceProfile
+    from sigdigger_tpu.sources import Emitter, SynthBandSource
+    from sigdigger_tpu.types import AnalyzerParams, Channel
+
+    fs = 1_024_000
+    prof = SourceProfile(type="synth", sample_rate=fs, freq=0.0)
+    src = SynthBandSource(prof, [
+        Emitter(freq=200e3, amplitude=1.0, fm_rate=400.0, fm_dev=4000.0),
+        Emitter(freq=-100e3, amplitude=0.7, kind="qpsk", baud=8000.0),
+    ], seed=1)
+    params = AnalyzerParams()
+    params.window_size = 4096
+    t0 = time.time()
+    an = KernelAnalyzer(source=src, params=params, block_size=1 << 17,
+                        n_slots=128, decimation=16, audio_decim=8,
+                        interpret=False)
+    print(f"engine built in {time.time() - t0:.1f}s", flush=True)
+
+    h_a = an.open_inspector(
+        "audio", Channel(fc=200e3, bw=20e3),
+        config={"audio.demodulator": 2, "audio.volume": 1.0,
+                "audio.sample-rate": 8000.0})
+    an.open_inspector(
+        "psk", Channel(fc=-100e3, bw=16e3),
+        config={"afc.bits-per-symbol": 2, "clock.baud": 8000.0})
+    an.open_inspector("power", Channel(fc=200e3, bw=20e3))
+    an.poll()
+
+    aud, psds, syms = [], 0, 0
+    t0 = time.time()
+    n_steps = 6
+    for i in range(n_steps):
+        t1 = time.time()
+        assert an.step()
+        dt = time.time() - t1
+        print(f"step {i}: {dt * 1e3:.1f} ms", flush=True)
+        for m in an.poll():
+            if m.kind == MessageKind.SAMPLES and m.handle == h_a:
+                aud.append(np.asarray(m.samples, np.float64))
+            elif m.kind == MessageKind.PSD:
+                psds += 1
+            elif m.kind == MessageKind.SAMPLES:
+                syms += len(np.atleast_1d(m.samples))
+    wall = time.time() - t0
+
+    a = np.concatenate(aud)
+    a = a - a.mean()
+    t = np.arange(len(a)) / 8000.0
+    s, c = np.sin(2 * np.pi * 400.0 * t), np.cos(2 * np.pi * 400.0 * t)
+    sk = slice(2000, None)
+    fit = (2 * np.mean(a[sk] * s[sk]) * s[sk]
+           + 2 * np.mean(a[sk] * c[sk]) * c[sk])
+    snr = 10 * np.log10(np.mean(fit ** 2)
+                        / max(np.mean((a[sk] - fit) ** 2), 1e-30))
+    msps = n_steps * an.block_size / wall / 1e6
+    print(json.dumps({
+        "backend": jax.default_backend(),
+        "interpret": False,
+        "audio_tone_snr_db": round(float(snr), 1),
+        "psd_messages": psds,
+        "engine_msps_smoke": round(msps, 3),
+        "steps": n_steps,
+        "block": an.block_size,
+    }), flush=True)
+    assert snr > 20.0, snr
+    assert psds >= n_steps
+    print("TPU ENGINE SMOKE OK", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -391,18 +391,24 @@ class KernelAnalyzer(Analyzer):
         slots = list(self._inspectors.values())
         any_audio = any(s.class_name == "audio" for s in slots)
         any_digital = any(s.class_name in _DIGITAL for s in slots)
-        any_raw = any(
-            s.class_name in ("raw", "power") or s.class_name in _DIGITAL
-            or s.estimators or s.spectrum_source for s in slots)
+        # the [M, C] raw planes only cross to the host when a slot
+        # actually consumes them there (raw/power payloads, estimators,
+        # spectrum sources); the digital chain consumes them ON DEVICE
+        need_host_raw = any(
+            s.class_name in ("raw", "power") or s.estimators
+            or s.spectrum_source for s in slots)
 
         frames = self._raw_bank.frame(x)      # single shared framing
         audio_out = (self._audio_bank.feed_frames(*frames)
                      if any_audio else None)
         y_re = y_im = soft = strobe = None
-        if any_raw:
-            y_re, y_im = self._raw_bank.feed_frames(*frames)
+        if need_host_raw or any_digital:
+            y_re, y_im = self._raw_bank.feed_frames(
+                *frames, fetch=need_host_raw)
         if any_digital:
             soft, strobe = self._rec_bank.feed_planes(y_re, y_im)
+        if not need_host_raw:
+            y_re = y_im = None
 
         msgs = []
         for slot in slots:
@@ -410,7 +416,9 @@ class KernelAnalyzer(Analyzer):
             idx = ks.idx
             c = ks.config
             raw_col = None
-            if y_re is not None:
+            if y_re is not None and (
+                    slot.class_name in ("raw", "power")
+                    or slot.estimators or slot.spectrum_source):
                 raw_col = (y_re[:, idx] + 1j * y_im[:, idx]).astype(
                     np.complex64)
             name = slot.class_name

@@ -397,6 +397,7 @@ class AudioBank:
         self._rebuild_columns(np.asarray([i]))
         self._upload_params()
         if reset_state:
+            self._state_to_host()
             self._prev_re[0, i] = 0.0
             self._prev_im[0, i] = 0.0
             self._ftail1[:, i] = 0.0
@@ -407,6 +408,15 @@ class AudioBank:
             self._dc[0, i] = 0.0
             self._phi[i] = 0.0
             self._phs_a[i] = 0.0
+
+    def _state_to_host(self) -> None:
+        """Pull device-resident carries back to mutable numpy (slot
+        resets are rare; the steady-state path never does this)."""
+        for name in ("_prev_re", "_prev_im", "_ftail1", "_ftail2",
+                     "_atail1", "_atail2", "_sq", "_dc"):
+            v = getattr(self, name)
+            if not isinstance(v, np.ndarray):
+                setattr(self, name, np.asarray(v))
 
     def _rebuild_columns(self, idx: np.ndarray) -> None:
         """Recompute mix-baked tap columns, rotation rates and the
@@ -636,14 +646,17 @@ class AudioBank:
         )
         (audio, last_re, last_im, ftail1, ftail2, atail1, atail2, sq,
          dc, power) = out
-        self._prev_re = np.asarray(last_re)
-        self._prev_im = np.asarray(last_im)
-        self._ftail1 = np.asarray(ftail1)
-        self._ftail2 = np.asarray(ftail2)
-        self._atail1 = np.asarray(atail1)
-        self._atail2 = np.asarray(atail2)
-        self._sq = np.asarray(sq)
-        self._dc = np.asarray(dc)
+        # carried state stays DEVICE-resident (it is only ever fed back
+        # into the next call); configure_channel pulls it to host when
+        # a slot reset needs to mutate it
+        self._prev_re = last_re
+        self._prev_im = last_im
+        self._ftail1 = ftail1
+        self._ftail2 = ftail2
+        self._atail1 = atail1
+        self._atail2 = atail2
+        self._sq = sq
+        self._dc = dc
         self.block_power = np.asarray(power)[0]
         self._phi = np.mod(
             self._phi + self._theta64 * cfg.block_out, _TWO_PI)
@@ -668,7 +681,8 @@ class AudioBank:
 
     def squelch_open(self) -> np.ndarray:
         """Per-channel squelch state after the last block."""
-        return (~self._squelch) | (self._sq[0] >= self._sq_level)
+        sq = np.asarray(self._sq)
+        return (~self._squelch) | (sq[0] >= self._sq_level)
 
     def flops_per_block(self) -> float:
         """Real FLOPs of one dispatch (matmul terms only; VPU demod

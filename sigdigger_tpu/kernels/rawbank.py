@@ -220,8 +220,11 @@ class RawBank:
         ``block_power``."""
         return self.feed_frames(*self.frame(x))
 
-    def feed_frames(self, xw_re: np.ndarray, xw_im: np.ndarray
-                    ) -> tuple[np.ndarray, np.ndarray]:
+    def feed_frames(self, xw_re: np.ndarray, xw_im: np.ndarray,
+                    fetch: bool = True):
+        """``fetch=False`` leaves the [M, C] output planes on device
+        (for chaining into RecoveryBank without a host round-trip —
+        they are several MB; only ``block_power`` is drained)."""
         cfg = self.cfg
         y_re, y_im, power = self._call(
             xw_re, xw_im, self.consts["h_re"], self.consts["h_im"],
@@ -230,7 +233,9 @@ class RawBank:
         self._phi = np.mod(
             self._phi + self._theta64 * cfg.block_out, _TWO_PI)
         self.block_power = np.asarray(power)[0]
-        return np.asarray(y_re), np.asarray(y_im)
+        if fetch:
+            return np.asarray(y_re), np.asarray(y_im)
+        return y_re, y_im
 
     def feed_device(self, xw_re, xw_im, phi0):
         return self._call(

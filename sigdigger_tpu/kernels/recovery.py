@@ -251,6 +251,10 @@ class RecoveryBank:
 
     def _rebuild(self, idx: np.ndarray, reset_state: bool) -> None:
         k = self.cfg.mf_taps_max
+        if reset_state and not isinstance(self.state, np.ndarray):
+            # state is device-resident in steady state; pull it back to
+            # mutable numpy for the (rare) per-slot reset
+            self.state = np.asarray(self.state)
         for i in np.asarray(idx).ravel():
             a, b = loop_gains(float(self._loop_bw[i]))
             self._alpha[i] = a
@@ -352,8 +356,9 @@ class RecoveryBank:
         return jax.jit(call) if jit else call
 
     def feed_planes(self, y_re: np.ndarray, y_im: np.ndarray):
-        """[M, C] float32 channel-baseband planes (RawBank layout) →
-        (soft complex [M, C], strobe bool [M, C])."""
+        """[M, C] float32 channel-baseband planes (RawBank layout,
+        host OR device-resident) → (soft complex [M, C], strobe bool
+        [M, C]).  Loop state stays on device between blocks."""
         sr, si, strobe, self.state = self._call(
             y_re, y_im, self.state, self.consts["w_psk"],
             self.consts["w_fsk"], self.consts["w_ask"],
@@ -362,7 +367,6 @@ class RecoveryBank:
             self.consts["gp"], self.consts["gf"],
             self.consts["pmin"], self.consts["pmax"], self.consts["mf"],
         )
-        self.state = np.asarray(self.state)
         return (np.asarray(sr) + 1j * np.asarray(si),
                 np.asarray(strobe) > 0.5)
 
@@ -373,4 +377,4 @@ class RecoveryBank:
 
     @property
     def period_estimate(self) -> np.ndarray:
-        return np.asarray(self.state[7])
+        return np.asarray(self.state)[7]
