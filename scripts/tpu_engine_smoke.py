@@ -28,7 +28,7 @@ def main() -> None:
     prof = SourceProfile(type="synth", sample_rate=fs, freq=0.0)
     src = SynthBandSource(prof, [
         Emitter(freq=200e3, amplitude=1.0, fm_rate=400.0, fm_dev=4000.0),
-        Emitter(freq=-100e3, amplitude=0.7, kind="qpsk", baud=8000.0),
+        Emitter(freq=-100e3, amplitude=0.7, kind="psk", order=4, baud=8000.0),
     ], seed=1)
     params = AnalyzerParams()
     params.window_size = 4096

@@ -59,6 +59,12 @@ from sigdigger_tpu.types import Channel
 _DIGITAL = {"psk": KIND_PSK, "fsk": KIND_FSK, "ask": KIND_ASK}
 
 
+def ks_schema_keys(slot) -> set[str]:
+    """All schema keys of a slot's inspector class (warn only on keys
+    that exist in the contract yet have no kernel-path effect)."""
+    return {f.name for f in INSPECTOR_SCHEMAS[slot.class_name]}
+
+
 def _largest_divisor(n: int, limit: int) -> int:
     d = min(n, limit)
     while n % d:
@@ -128,6 +134,30 @@ class _KernelSlotExtra:
         self.resampler: _HostResampler | None = None
         self.pw_acc = 0.0
         self.pw_cnt = 0
+        self.offset = 0.0           # afc.offset / ask.offset (Hz)
+
+
+# config keys each inspector class honors on the kernel path; a set of
+# any OTHER schema key is acknowledged but logged loudly (reference
+# contract: Default/GenericInspector/InspectorCtl/*.cpp)
+_HONORED_KEYS: dict[str, set[str]] = {
+    "audio": {"audio.cutoff", "audio.volume", "audio.sample-rate",
+              "audio.demodulator", "audio.squelch",
+              "audio.squelch-level", "agc.enabled"},
+    "psk": {"afc.bits-per-symbol", "afc.costas-order", "afc.loop-bw",
+            "afc.offset", "mf.type", "mf.roll-off", "clock.baud",
+            "clock.gain", "clock.phase", "clock.running", "clock.type",
+            "equalizer.type", "equalizer.rate", "equalizer.locked"},
+    "fsk": {"fsk.bits-per-symbol", "fsk.phase", "fsk.quad-demod",
+            "mf.type", "mf.roll-off", "clock.baud", "clock.gain",
+            "clock.phase", "clock.running", "clock.type"},
+    "ask": {"ask.bits-per-symbol", "ask.channel", "ask.loop-bw",
+            "ask.offset", "ask.use-pll", "mf.type", "mf.roll-off",
+            "clock.baud", "clock.gain", "clock.phase", "clock.running",
+            "clock.type"},
+    "raw": {"agc.enabled", "agc.gain"},
+    "power": {"power.integrate-samples"},
+}
 
 
 class KernelAnalyzer(Analyzer):
@@ -298,16 +328,28 @@ class KernelAnalyzer(Analyzer):
                             if abs(target - self.audio_rate) > 1e-6
                             else None)
         elif name in _DIGITAL:
+            kw: dict[str, Any] = {}
             if name == "psk":
                 bps = max(1, int(c["afc.bits-per-symbol"]))
                 order = int(c["afc.costas-order"])
                 if order not in (2, 4, 8):
                     order = min(1 << bps, 8)
                 loop_bw = float(c["afc.loop-bw"])
-            else:
+                ks.offset = float(c["afc.offset"])
+                kw.update(eq_enabled=int(c["equalizer.type"]) == 1,
+                          eq_rate=float(c["equalizer.rate"]),
+                          eq_locked=bool(c["equalizer.locked"]))
+            elif name == "ask":
                 order = 2
-                loop_bw = (float(c["ask.loop-bw"]) if name == "ask"
-                           else 0.01)
+                loop_bw = float(c["ask.loop-bw"])
+                ks.offset = float(c["ask.offset"])
+                kw.update(pll=bool(c["ask.use-pll"]))
+            else:                                # fsk
+                order = 2
+                loop_bw = 0.01
+                ks.offset = 0.0
+                kw.update(quad_demod=bool(c["fsk.quad-demod"]),
+                          fsk_phase=float(c["fsk.phase"]))
             baud = max(float(c["clock.baud"]), 1e-3)
             sps = max(2.0, self.channel_rate / baud)
             self._rec_bank.configure_channel(
@@ -316,13 +358,30 @@ class KernelAnalyzer(Analyzer):
                 clock_gain=float(c["clock.gain"]),
                 mf_rolloff=float(c["mf.roll-off"]),
                 use_mf=int(c["mf.type"]) == 1,
-                reset_state=reset_state)
+                running=bool(c["clock.running"]),
+                manual_clock=int(c["clock.type"]) == 0,
+                clock_phase=float(c["clock.phase"]),
+                reset_state=reset_state, **kw)
+            # manual carrier offset shifts the channel mix (reference
+            # AfcControl/AskControl offset semantics)
+            self._raw_bank.configure_channel(
+                ks.idx, f0=slot.lo + ks.offset)
 
     def set_inspector_config(self, handle: int, config: dict[str, Any],
                              request_id: int = 0) -> None:
         slot = self._slot(handle, request_id)
         if slot is None:
             return
+        honored = _HONORED_KEYS.get(slot.class_name, set())
+        ignored = [k for k in config
+                   if k not in honored and k in ks_schema_keys(slot)]
+        if ignored:
+            from sigdigger_tpu.utils.logger import Logger
+
+            Logger.instance().warning(
+                f"kernel path does not honor {sorted(ignored)} on "
+                f"{slot.class_name!r} inspector {handle} (accepted, "
+                "no effect)", domain="kernel_engine")
         with self._lock:
             ks = self._kslots[handle]
             ks.config.update(config)
@@ -342,7 +401,8 @@ class KernelAnalyzer(Analyzer):
         with self._lock:
             ks = self._kslots[handle]
             slot.lo = freq
-            self._raw_bank.configure_channel(ks.idx, f0=freq)
+            self._raw_bank.configure_channel(ks.idx,
+                                             f0=freq + ks.offset)
             if slot.class_name == "audio":
                 self._audio_bank.configure_channel(ks.idx, f0=freq)
         self._emit(InspectorMessage(

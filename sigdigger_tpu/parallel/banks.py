@@ -121,8 +121,8 @@ def shard_recovery_bank(bank, mesh: Mesh, axis: str = "ch"):
     local_c, tile = _local_channels(cfg.n_channels, cfg.channel_tile,
                                     mesh.shape[axis])
     ch = P(None, axis)
-    # y_re, y_im, state, 12 per-channel parameter rows, mf — all [*, C]
-    in_specs = (ch,) * 16
+    # y_re, y_im, state, 20 per-channel parameter rows, mf — all [*, C]
+    in_specs = (ch,) * 24
     out_specs = (ch,) * 4           # sym_re, sym_im, strobe, state
     _shard(bank, mesh, axis, in_specs, out_specs,
            replace(cfg, n_channels=local_c, channel_tile=tile))

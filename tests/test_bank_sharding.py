@@ -187,7 +187,7 @@ def _make_engines(mesh):
         src = SynthBandSource(prof, [
             Emitter(freq=60e3, amplitude=1.0, fm_rate=200.0,
                     fm_dev=2000.0),
-            Emitter(freq=-40e3, amplitude=0.5, kind="qpsk", baud=4000.0),
+            Emitter(freq=-40e3, amplitude=0.5, kind="psk", order=4, baud=4000.0),
         ], seed=1)
         params = AnalyzerParams()
         params.window_size = 4096

@@ -1,0 +1,304 @@
+"""Kernel-path inspector config contract: every schema key is honored
+(changes output) or loudly acknowledged as a no-op.
+
+VERDICT r2 Missing/Weak #4: `kernel_engine` used to accept and drop
+afc.offset, fsk.quad-demod/phase, ask.use-pll, clock.{phase,running,
+type} and the whole equalizer.* namespace.  These tests pin the full
+contract (reference Default/GenericInspector/InspectorCtl/*.cpp).
+"""
+
+import numpy as np
+import pytest
+
+from sigdigger_tpu.analyzer.kernel_engine import KernelAnalyzer
+from sigdigger_tpu.analyzer.messages import MessageKind
+from sigdigger_tpu.kernels.recovery import (
+    KIND_ASK,
+    KIND_FSK,
+    KIND_PSK,
+    RecoveryBank,
+    RecoveryBankConfig,
+)
+from sigdigger_tpu.profiles import SourceProfile
+from sigdigger_tpu.sources import Emitter, SynthBandSource
+from sigdigger_tpu.types import AnalyzerParams, Channel
+from sigdigger_tpu.utils.logger import Logger
+
+FS = 128_000
+
+
+def make_engine(emitters):
+    prof = SourceProfile(type="synth", sample_rate=FS, freq=0.0)
+    src = SynthBandSource(prof, emitters, seed=3)
+    params = AnalyzerParams()
+    params.window_size = 1024
+    return KernelAnalyzer(source=src, params=params, block_size=16384,
+                          decimation=8, audio_decim=4, n_slots=16,
+                          interpret=True)
+
+
+def collect(an, handles, n_steps=2):
+    out = {h: [] for h in handles}
+    for _ in range(n_steps):
+        assert an.step()
+        for m in an.poll():
+            if m.kind == MessageKind.SAMPLES and m.handle in out:
+                out[m.handle].append(np.atleast_1d(np.asarray(m.samples)))
+    return {h: (np.concatenate(v) if v else np.zeros(0))
+            for h, v in out.items()}
+
+
+def assert_differs(a, b, label):
+    if a.shape != b.shape:
+        return
+    assert not np.allclose(a, b, atol=1e-7), f"{label} had no effect"
+
+
+# ---------------------------------------------------------------------------
+# digital inspectors: one engine, one emitter, many slots with one knob
+# turned each — every honored key must change the output
+# ---------------------------------------------------------------------------
+
+PSK_OVERRIDES = {
+    "afc.bits-per-symbol": 1,
+    "afc.costas-order": 8,
+    "afc.loop-bw": 0.08,
+    "afc.offset": 800.0,
+    "mf.type": 0,
+    "mf.roll-off": 0.95,
+    "clock.baud": 1500.0,
+    "clock.gain": 0.2,
+    "clock.phase": 0.4,
+    "clock.type": 0,
+    "equalizer.type": 1,
+}
+
+
+def test_psk_keys_change_output():
+    an = make_engine([Emitter(freq=30e3, amplitude=1.0, kind="psk", order=4,
+                              baud=2000.0)])
+    ch = Channel(fc=30e3, bw=8e3)
+    base_cfg = {"afc.bits-per-symbol": 2, "clock.baud": 2000.0}
+    h0 = an.open_inspector("psk", ch, config=dict(base_cfg))
+    h0b = an.open_inspector("psk", ch, config=dict(base_cfg))
+    alts = {}
+    for key, val in PSK_OVERRIDES.items():
+        cfg = dict(base_cfg)
+        cfg[key] = val
+        alts[an.open_inspector("psk", ch, config=cfg)] = key
+    an.poll()
+    outs = collect(an, [h0, h0b] + list(alts), n_steps=2)
+    np.testing.assert_allclose(outs[h0b], outs[h0])   # sanity: same cfg
+    for h, key in alts.items():
+        assert_differs(outs[h], outs[h0], key)
+
+
+def test_clock_running_false_emits_no_symbols():
+    an = make_engine([Emitter(freq=30e3, amplitude=1.0, kind="psk", order=4,
+                              baud=2000.0)])
+    ch = Channel(fc=30e3, bw=8e3)
+    h0 = an.open_inspector("psk", ch, config={"clock.baud": 2000.0})
+    h1 = an.open_inspector("psk", ch, config={"clock.baud": 2000.0,
+                                              "clock.running": False})
+    an.poll()
+    strobes = {h0: 0, h1: 0}
+    for _ in range(2):
+        assert an.step()
+        for m in an.poll():
+            if m.kind == MessageKind.SAMPLES and m.handle in strobes:
+                strobes[m.handle] += int(
+                    np.sum(m.extras.get("strobes", np.zeros(1))))
+    assert strobes[h0] > 10
+    assert strobes[h1] == 0
+
+
+FSK_OVERRIDES = [
+    ("fsk.bits-per-symbol", 2, {}),
+    ("fsk.quad-demod", False, {}),
+    ("fsk.phase", 1.2, {"fsk.quad-demod": False}),
+    ("clock.baud", 1500.0, {}),
+]
+
+
+def test_fsk_keys_change_output():
+    an = make_engine([Emitter(freq=-20e3, amplitude=1.0, fm_rate=700.0, fm_dev=3000.0)])
+    ch = Channel(fc=-20e3, bw=10e3)
+    base_cfg = {"clock.baud": 2000.0}
+    h0 = an.open_inspector("fsk", ch, config=dict(base_cfg))
+    alts = {}
+    for key, val, extra in FSK_OVERRIDES:
+        cfg = dict(base_cfg)
+        cfg.update(extra)
+        cfg[key] = val
+        ref = an.open_inspector("fsk", ch,
+                                config={**base_cfg, **extra})
+        alt = an.open_inspector("fsk", ch, config=cfg)
+        alts[key] = (ref, alt)
+    an.poll()
+    handles = [h0] + [h for pair in alts.values() for h in pair]
+    outs = collect(an, handles, n_steps=2)
+    for key, (ref, alt) in alts.items():
+        if key == "fsk.bits-per-symbol":
+            continue        # bits change symbol ids, not soft values
+        assert_differs(outs[alt], outs[ref], key)
+
+
+ASK_OVERRIDES = [
+    ("ask.use-pll", False, {}),
+    ("ask.loop-bw", 0.1, {"ask.use-pll": True}),
+    ("ask.offset", 400.0, {}),
+]
+
+
+def test_ask_keys_change_output():
+    an = make_engine([Emitter(freq=10e3, amplitude=1.0, kind="am", am_rate=700.0, am_index=0.6)])
+    ch = Channel(fc=10e3, bw=8e3)
+    base_cfg = {"clock.baud": 2000.0}
+    alts = {}
+    for key, val, extra in ASK_OVERRIDES:
+        cfg = dict(base_cfg)
+        cfg.update(extra)
+        cfg[key] = val
+        ref = an.open_inspector("ask", ch,
+                                config={**base_cfg, **extra})
+        alt = an.open_inspector("ask", ch, config=cfg)
+        alts[key] = (ref, alt)
+    an.poll()
+    handles = [h for pair in alts.values() for h in pair]
+    outs = collect(an, handles, n_steps=2)
+    for key, (ref, alt) in alts.items():
+        assert_differs(outs[alt], outs[ref], key)
+
+
+# ---------------------------------------------------------------------------
+# audio / raw / power keys
+# ---------------------------------------------------------------------------
+
+AUDIO_OVERRIDES = {
+    "audio.cutoff": 1200.0,
+    "audio.volume": 0.25,
+    "audio.demodulator": 1,
+}
+
+
+def test_audio_keys_change_output():
+    an = make_engine([Emitter(freq=25e3, amplitude=0.9, fm_rate=300.0,
+                              fm_dev=2500.0)])
+    ch = Channel(fc=25e3, bw=10e3)
+    base_cfg = {"audio.demodulator": 2, "audio.volume": 1.0,
+                "audio.sample-rate": an.audio_rate}
+    h0 = an.open_inspector("audio", ch, config=dict(base_cfg))
+    alts = {}
+    for key, val in AUDIO_OVERRIDES.items():
+        cfg = dict(base_cfg)
+        cfg[key] = val
+        alts[an.open_inspector("audio", ch, config=cfg)] = key
+    # agc.enabled is observable on AM (FM's discriminator is scale-
+    # invariant by design, so AGC has no effect there)
+    h_am = an.open_inspector("audio", ch, config={
+        **base_cfg, "audio.demodulator": 1, "agc.enabled": True})
+    h_am_nagc = an.open_inspector("audio", ch, config={
+        **base_cfg, "audio.demodulator": 1, "agc.enabled": False})
+    h_sq = an.open_inspector("audio", ch, config={
+        **base_cfg, "audio.squelch": True, "audio.squelch-level": 1e9})
+    h_sr = an.open_inspector("audio", ch, config={
+        **base_cfg, "audio.sample-rate": an.audio_rate / 2.0})
+    an.poll()
+    outs = collect(an, [h0, h_am, h_am_nagc, h_sq, h_sr] + list(alts),
+                   n_steps=2)
+    for h, key in alts.items():
+        assert_differs(outs[h], outs[h0], key)
+    assert_differs(outs[h_am_nagc], outs[h_am], "agc.enabled")
+    assert np.allclose(outs[h_sq], 0.0)          # squelch gates to zero
+    assert len(outs[h_sr]) < len(outs[h0])       # sample-rate resamples
+
+
+def test_raw_and_power_keys_change_output():
+    an = make_engine([Emitter(freq=25e3, amplitude=0.9, fm_rate=300.0,
+                              fm_dev=2500.0)])
+    ch = Channel(fc=25e3, bw=10e3)
+    h0 = an.open_inspector("raw", ch)
+    h1 = an.open_inspector("raw", ch, config={"agc.enabled": False,
+                                              "agc.gain": 3.0})
+    p0 = an.open_inspector("power", ch,
+                           config={"power.integrate-samples": 16})
+    p1 = an.open_inspector("power", ch,
+                           config={"power.integrate-samples": 256})
+    an.poll()
+    outs = collect(an, [h0, h1, p0, p1], n_steps=2)
+    assert_differs(outs[h1], outs[h0], "agc.gain")
+    assert len(outs[p0]) == 16 * len(outs[p1])
+
+
+# ---------------------------------------------------------------------------
+# unhonored keys are acknowledged with a LOUD warning, never silently
+# ---------------------------------------------------------------------------
+
+def test_unhonored_keys_warn():
+    an = make_engine([Emitter(freq=25e3, amplitude=0.9, fm_rate=300.0,
+                              fm_dev=2500.0)])
+    h = an.open_inspector("audio", Channel(fc=25e3, bw=10e3),
+                          config={"audio.demodulator": 2})
+    Logger.instance().drain()
+    an.set_inspector_config(h, {"agc.ts": 50.0})
+    msgs = [r.message for r in Logger.instance().drain()]
+    assert any("agc.ts" in m and "does not honor" in m for m in msgs)
+    # honored keys do NOT warn
+    an.set_inspector_config(h, {"audio.volume": 0.5})
+    assert not Logger.instance().drain()
+
+
+# ---------------------------------------------------------------------------
+# equalizer SNR on the kernel path: CMA opens a closed eye through an
+# ISI channel (reference EqualizerControl.cpp semantics)
+# ---------------------------------------------------------------------------
+
+def _evm(sym, order=4):
+    ang = np.angle(sym) * order / (2 * np.pi)
+    ideal = np.exp(1j * (np.round(ang) * 2 * np.pi / order))
+    mag = np.abs(sym)
+    mag /= np.mean(mag)
+    return float(np.mean(np.abs(mag * np.exp(1j * np.angle(sym))
+                                - ideal) ** 2))
+
+
+def test_equalizer_improves_isi_symbols():
+    cfg = RecoveryBankConfig(n_channels=128, block_len=512,
+                             channel_tile=128)
+    bank = RecoveryBank(cfg, interpret=True)
+    sps = 8.0
+    for i, eq in ((0, False), (1, True)):
+        bank.configure_channel(i, kind=KIND_PSK, sps=sps, order=4,
+                               loop_bw=0.005, clock_gain=0.05,
+                               use_mf=True, eq_enabled=eq,
+                               eq_rate=2e-2)
+    rng = np.random.default_rng(7)
+    from sigdigger_tpu.dsp.filters import fir_apply, rrc_taps
+
+    nsym = 3000
+    syms = rng.integers(0, 4, nsym)
+    const = np.exp(1j * (2 * np.pi * syms / 4 + np.pi / 4))
+    up = np.zeros(int(nsym * sps), np.complex64)
+    up[(np.arange(nsym) * sps).astype(int)] = const
+    bb = np.array(fir_apply(up, rrc_taps(sps, span=6, rolloff=0.35)))
+    # static ISI channel
+    isi = bb + 0.4 * np.roll(bb, int(sps)) - 0.2j * np.roll(bb, 2)
+    isi = isi.astype(np.complex64)
+
+    planes = np.zeros((len(isi), 128), np.complex64)
+    planes[:, 0] = isi
+    planes[:, 1] = isi
+    sy, st = [], []
+    for i in range(0, len(isi) - cfg.block_len + 1, cfg.block_len):
+        s, t = bank.feed(planes[i:i + cfg.block_len])
+        sy.append(s)
+        st.append(t)
+    sy = np.concatenate(sy)
+    st = np.concatenate(st)
+    tail = slice(len(sy) * 3 // 4, None)
+    raw_sym = sy[tail, 0][st[tail, 0]]
+    eq_sym = sy[tail, 1][st[tail, 1]]
+    assert len(raw_sym) > 200 and len(eq_sym) > 200
+    evm_raw = _evm(raw_sym)
+    evm_eq = _evm(eq_sym)
+    assert evm_eq < 0.6 * evm_raw, (evm_raw, evm_eq)
