@@ -278,3 +278,142 @@ class TestSoapy:
         src = SoapySource(prof, lib=soapy_lib)
         assert soapy_lib.mock_freq() == pytest.approx(250e6)
         src.close()
+
+
+# ---------------------------------------------------------------------------
+# PortAudio backend against a compiled mock libportaudio
+# (reference Audio/PortAudioPlayer.cpp; runtime order ALSA→PortAudio→Null)
+# ---------------------------------------------------------------------------
+
+_PA_MOCK = r"""
+#include <string.h>
+
+typedef struct {
+    int structVersion; const char *name; int hostApi;
+    int maxInputChannels; int maxOutputChannels;
+    double defaultLowInputLatency, defaultLowOutputLatency;
+    double defaultHighInputLatency, defaultHighOutputLatency;
+    double defaultSampleRate;
+} PaDeviceInfo;
+
+typedef struct {
+    int device; int channelCount; unsigned long sampleFormat;
+    double suggestedLatency; void *hostApiSpecificStreamInfo;
+} PaStreamParameters;
+
+static int inited = 0, started = 0, underflow_next = 0;
+static long total = 0;
+static double got_rate = 0; static unsigned long got_fmt = 0;
+static int got_device = -1; static float last_sample = 0;
+static PaDeviceInfo devs[2] = {
+    {2, "Mock Output", 0, 0, 2, 0.01, 0.01, 0.1, 0.1, 48000.0},
+    {2, "USB Thing", 0, 0, 1, 0.01, 0.01, 0.1, 0.1, 44100.0},
+};
+
+int Pa_Initialize(void) { inited = 1; return 0; }
+int Pa_Terminate(void) { inited = 0; return 0; }
+int Pa_GetDeviceCount(void) { return 2; }
+int Pa_GetDefaultOutputDevice(void) { return 0; }
+const PaDeviceInfo *Pa_GetDeviceInfo(int i) {
+    if (i < 0 || i > 1) return 0;
+    return &devs[i];
+}
+int Pa_OpenStream(void **stream, const PaStreamParameters *in,
+                  const PaStreamParameters *out, double rate,
+                  unsigned long fpb, unsigned long flags,
+                  void *cb, void *user) {
+    if (!inited || in != 0 || out == 0) return -10000;
+    got_rate = rate; got_fmt = out->sampleFormat;
+    got_device = out->device;
+    *stream = (void *)0x2; return 0;
+}
+int Pa_StartStream(void *s) { started = 1; return 0; }
+int Pa_WriteStream(void *s, const void *buf, unsigned long frames) {
+    const float *f = (const float *)buf;
+    total += frames;
+    if (frames) last_sample = f[frames - 1];
+    if (underflow_next) { underflow_next = 0; return -9980; }
+    return 0;
+}
+int Pa_StopStream(void *s) { started = 0; return 0; }
+int Pa_CloseStream(void *s) { return 0; }
+const char *Pa_GetErrorText(int e) { return "mock pa error"; }
+
+long pa_mock_total(void) { return total; }
+double pa_mock_rate(void) { return got_rate; }
+unsigned long pa_mock_fmt(void) { return got_fmt; }
+int pa_mock_device(void) { return got_device; }
+float pa_mock_last(void) { return last_sample; }
+void pa_mock_underflow_next(void) { underflow_next = 1; }
+int pa_mock_inited(void) { return inited; }
+"""
+
+
+@pytest.fixture(scope="module")
+def pa_lib(tmp_path_factory):
+    from sigdigger_tpu.audio.portaudio import _declare as _declare_pa
+
+    path = _build(tmp_path_factory.mktemp("pa"), "pamock", _PA_MOCK)
+    lib = ctypes.CDLL(path)
+    _declare_pa(lib)
+    lib.pa_mock_total.restype = ctypes.c_long
+    lib.pa_mock_rate.restype = ctypes.c_double
+    lib.pa_mock_fmt.restype = ctypes.c_ulong
+    lib.pa_mock_last.restype = ctypes.c_float
+    return lib
+
+
+def test_portaudio_open_params_and_write(pa_lib):
+    from sigdigger_tpu.audio.portaudio import PA_FLOAT32, PortAudioPlayer
+
+    p = PortAudioPlayer(48000, lib=pa_lib)
+    assert pa_lib.pa_mock_inited() == 1
+    assert pa_lib.pa_mock_rate() == 48000.0
+    assert pa_lib.pa_mock_fmt() == PA_FLOAT32
+    assert pa_lib.pa_mock_device() == 0        # default output
+    samples = np.linspace(-0.5, 0.5, 480).astype(np.float32)
+    p.play(samples)
+    assert pa_lib.pa_mock_total() == 480
+    assert abs(pa_lib.pa_mock_last() - 0.5) < 1e-6
+    p.close()
+
+
+def test_portaudio_device_by_name_and_underflow(pa_lib):
+    from sigdigger_tpu.audio.portaudio import PortAudioPlayer
+
+    p = PortAudioPlayer(44100, device="USB", lib=pa_lib)
+    assert pa_lib.pa_mock_device() == 1
+    pa_lib.pa_mock_underflow_next()
+    p.play(np.zeros(128, np.float32))          # swallowed underflow
+    assert p.underruns == 1
+    p.play(np.zeros(128, np.float32))
+    assert p.underruns == 1
+    p.close()
+
+
+def test_portaudio_unknown_device_raises(pa_lib):
+    from sigdigger_tpu.audio.portaudio import (
+        PortAudioError,
+        PortAudioPlayer,
+    )
+
+    with pytest.raises(PortAudioError):
+        PortAudioPlayer(48000, device="nope-no-such", lib=pa_lib)
+
+
+def test_portaudio_playback_pump_integration(pa_lib):
+    """Full AudioPlayback pump draining into the PortAudio backend."""
+    import time as _t
+
+    from sigdigger_tpu.audio.playback import AudioPlayback
+    from sigdigger_tpu.audio.portaudio import PortAudioPlayer
+
+    before = pa_lib.pa_mock_total()
+    pb = AudioPlayback(8000, player=PortAudioPlayer(8000, lib=pa_lib))
+    pb.write(np.ones(4096, np.float32))
+    for _ in range(100):
+        if pa_lib.pa_mock_total() - before >= 4096:
+            break
+        _t.sleep(0.02)
+    pb.close()
+    assert pa_lib.pa_mock_total() - before >= 2048
