@@ -23,9 +23,12 @@ opening rewrites that slot's device-resident constant columns, closing
 masks it.  The compiled kernels never change — asserted by tests.
 
 Deviations from the generic engine, by design:
-- every slot shares one analyzer-wide decimation (the bank's), so
-  equiv_rate = sample_rate / decimation for all inspectors (the
-  generic engine picks a per-channel power of two);
+- per-channel decimation is BUCKETED: the analyzer pre-declares a set
+  of decimation classes (``decimations=...``), each with its own bank
+  trio, and every inspector lands in the slowest bucket covering its
+  bandwidth — wide audio and narrow digital channels get different
+  equiv_rates, quantized to the declared classes (SURVEY §7; the
+  generic engine picks an arbitrary per-channel power of two);
 - audio AGC is the bank's block AGC (power-EMA rsqrt), not the
   hang-AGC follower;
 - host-side audio resampling to `audio.sample-rate` is linear-
@@ -135,6 +138,7 @@ class _KernelSlotExtra:
         self.pw_acc = 0.0
         self.pw_cnt = 0
         self.offset = 0.0           # afc.offset / ask.offset (Hz)
+        self.bucket = None          # _Bucket hosting this slot
 
 
 # config keys each inspector class honors on the kernel path; a set of
@@ -160,20 +164,51 @@ _HONORED_KEYS: dict[str, set[str]] = {
 }
 
 
+class _Bucket:
+    """One (decimation) class of pre-allocated inspector slots: its own
+    RawBank + AudioBank + RecoveryBank at equiv_rate = fs/decimation
+    (SURVEY §7 bucketed channel groups; reference per-inspector
+    decimation choice, Tasks/LPFTask.cpp:52-69)."""
+
+    def __init__(self, decimation: int, raw, audio, rec,
+                 n_slots: int) -> None:
+        self.decimation = decimation
+        self.raw = raw
+        self.audio = audio
+        self.rec = rec
+        self.free = list(range(n_slots - 1, -1, -1))
+
+    @property
+    def channel_rate(self) -> float:
+        return self.raw.cfg.channel_rate
+
+    @property
+    def audio_rate(self) -> float:
+        return self.audio.cfg.audio_rate
+
+
 class KernelAnalyzer(Analyzer):
     """Analyzer running its hot path entirely on Pallas kernels.
 
-    ``n_slots`` pre-allocated inspector slots; ``decimation`` sets the
-    single channel rate (equiv_rate = fs / decimation).
+    ``decimations`` declares the available (bw, rate) bucket classes —
+    each gets ``n_slots`` pre-allocated inspector slots at
+    equiv_rate = fs / decimation; ``open_inspector`` places each
+    inspector in the slowest bucket that still covers its bandwidth
+    (with a 1.25 guard), so wide audio and narrow digital channels in
+    one session get different equiv_rates.  ``decimation`` names the
+    primary/default bucket.
     """
 
     def __init__(self, profile=None, params=None, source=None,
                  block_size: int | None = None, n_slots: int = 128,
                  decimation: int = 64, audio_decim: int = 8,
+                 decimations: tuple[int, ...] | None = None,
                  interpret: bool | None = None, mesh=None) -> None:
         self._n_slots = int(n_slots)
         self._decimation = int(decimation)
         self._audio_decim = int(audio_decim)
+        self._decimations = tuple(sorted(
+            set(decimations or ()) | {int(decimation)}, reverse=True))
         self._interpret = interpret
         self._mesh = mesh
         super().__init__(profile=profile, params=params, source=source,
@@ -185,19 +220,6 @@ class KernelAnalyzer(Analyzer):
     def _build_dsp(self) -> None:
         rate = self.source.sample_rate
         w = self.params.window_size
-        d = self._decimation
-        if self.block_size % (d * self._audio_decim):
-            raise ValueError(
-                f"block_size {self.block_size} must be a multiple of "
-                f"decimation*audio_decim = {d * self._audio_decim}")
-        block_out = self.block_size // d
-        m_tile = _largest_divisor(block_out, 2048)
-        if m_tile % self._audio_decim:
-            raise ValueError(
-                f"derived m_tile {m_tile} not a multiple of audio "
-                f"decimation {self._audio_decim}")
-        tile = 128 if self._n_slots % 128 == 0 else self._n_slots
-
         n_mesh = self._mesh.shape["ch"] if self._mesh is not None else 1
         if self._n_slots % max(n_mesh, 1):
             raise ValueError(
@@ -216,38 +238,61 @@ class KernelAnalyzer(Analyzer):
             alpha=self.params.spectrum_avg_alpha,
             interpret=self._interpret,
         )
-        self._audio_bank = AudioBank(AudioBankConfig(
-            sample_rate=rate, n_channels=self._n_slots,
-            decimation=d, audio_decim=self._audio_decim,
-            block_out=block_out, m_tile=m_tile, channel_tile=tile,
-            enable_ssb=True,
-        ), interpret=self._interpret)
-        self._raw_bank = RawBank(RawBankConfig(
-            sample_rate=rate, n_channels=self._n_slots, decimation=d,
-            block_out=block_out, m_tile=m_tile, channel_tile=tile,
-        ), interpret=self._interpret)
-        self._rec_bank = RecoveryBank(RecoveryBankConfig(
-            n_channels=self._n_slots, block_len=block_out,
-            channel_tile=tile,
-        ), interpret=self._interpret)
         if self._mesh is not None:
-            # scale-out: channel-shard the banks, frame-shard the PSD
-            # (parallel/banks.py; zero per-step comm on the channel
-            # axis, one [A, B] psum for the PSD fold)
-            from sigdigger_tpu.parallel.banks import (
-                shard_audio_bank,
-                shard_psd,
-                shard_raw_bank,
-                shard_recovery_bank,
-            )
+            from sigdigger_tpu.parallel.banks import shard_psd
 
             shard_psd(self._spectrum, self._mesh)
-            shard_audio_bank(self._audio_bank, self._mesh)
-            shard_raw_bank(self._raw_bank, self._mesh)
-            shard_recovery_bank(self._rec_bank, self._mesh)
+
+        tile = 128 if self._n_slots % 128 == 0 else self._n_slots
+        self._buckets: dict[int, _Bucket] = {}
+        for d in self._decimations:
+            if self.block_size % (d * self._audio_decim):
+                raise ValueError(
+                    f"block_size {self.block_size} must be a multiple "
+                    f"of decimation*audio_decim = "
+                    f"{d * self._audio_decim}")
+            block_out = self.block_size // d
+            m_tile = _largest_divisor(block_out, 2048)
+            if m_tile % self._audio_decim:
+                raise ValueError(
+                    f"derived m_tile {m_tile} not a multiple of audio "
+                    f"decimation {self._audio_decim}")
+            audio = AudioBank(AudioBankConfig(
+                sample_rate=rate, n_channels=self._n_slots,
+                decimation=d, audio_decim=self._audio_decim,
+                block_out=block_out, m_tile=m_tile, channel_tile=tile,
+                enable_ssb=True,
+            ), interpret=self._interpret)
+            raw = RawBank(RawBankConfig(
+                sample_rate=rate, n_channels=self._n_slots,
+                decimation=d, block_out=block_out, m_tile=m_tile,
+                channel_tile=tile,
+            ), interpret=self._interpret)
+            rec = RecoveryBank(RecoveryBankConfig(
+                n_channels=self._n_slots, block_len=block_out,
+                channel_tile=tile,
+            ), interpret=self._interpret)
+            if self._mesh is not None:
+                # scale-out: channel-shard the banks (parallel/banks.py;
+                # zero per-step comm on the channel axis)
+                from sigdigger_tpu.parallel.banks import (
+                    shard_audio_bank,
+                    shard_raw_bank,
+                    shard_recovery_bank,
+                )
+
+                shard_audio_bank(audio, self._mesh)
+                shard_raw_bank(raw, self._mesh)
+                shard_recovery_bank(rec, self._mesh)
+            self._buckets[d] = _Bucket(d, raw, audio, rec,
+                                       self._n_slots)
+
+        primary = self._buckets[self._decimation]
+        self._audio_bank = primary.audio      # primary-bucket aliases
+        self._raw_bank = primary.raw
+        self._rec_bank = primary.rec
         self._channelizer = None          # base machinery unused
         self._kslots: dict[int, _KernelSlotExtra] = {}
-        self._free_slots = list(range(self._n_slots - 1, -1, -1))
 
     @property
     def channel_rate(self) -> float:
@@ -256,6 +301,17 @@ class KernelAnalyzer(Analyzer):
     @property
     def audio_rate(self) -> float:
         return self._audio_bank.cfg.audio_rate
+
+    def _pick_bucket(self, bw: float) -> _Bucket:
+        """The slowest bucket (largest decimation) whose channel rate
+        still covers the requested bandwidth with a 1.25 guard
+        (reference per-inspector guard choice, Tasks/LPFTask.cpp:63-65),
+        falling back to the fastest bucket."""
+        for d in self._decimations:          # sorted descending
+            b = self._buckets[d]
+            if b.channel_rate >= bw * 1.25 and b.free:
+                return b
+        return self._buckets[self._decimations[-1]]
 
     # ------------------------------------------------------------------
     # inspector lifecycle (same ack protocol as the base engine)
@@ -269,24 +325,26 @@ class KernelAnalyzer(Analyzer):
                 request_id=request_id, class_name=class_name))
             raise ValueError(f"unknown inspector class {class_name!r}")
         with self._lock:
-            if not self._free_slots:
-                self._emit(InspectorMessage(
-                    inspector_kind=InspectorMessageKind.WRONG_OBJECT,
-                    request_id=request_id, class_name=class_name))
-                raise RuntimeError(
-                    f"all {self._n_slots} kernel slots in use")
             bw = channel.bw or (channel.f_high - channel.f_low)
             bw = max(bw, self.sample_rate /
                      self.params.window_size * 8)
             if class_name == "audio":
                 bw = min(bw, self.sample_rate / 2.0, 200e3)
-            idx = self._free_slots.pop()
+            bucket = self._pick_bucket(bw)
+            if not bucket.free:
+                self._emit(InspectorMessage(
+                    inspector_kind=InspectorMessageKind.WRONG_OBJECT,
+                    request_id=request_id, class_name=class_name))
+                raise RuntimeError(
+                    f"all {self._n_slots} kernel slots of the "
+                    f"1/{bucket.decimation} bucket in use")
+            idx = bucket.free.pop()
             cfgobj = Config(INSPECTOR_SCHEMAS[class_name])
             if config:
                 cfgobj.update(config)
-            equiv_rate = self.channel_rate
+            equiv_rate = bucket.channel_rate
 
-            self._raw_bank.configure_channel(
+            bucket.raw.configure_channel(
                 idx, f0=channel.fc, bw=bw / 2.0, reset_state=True)
             handle = self._next_handle
             self._next_handle += 1
@@ -297,6 +355,7 @@ class KernelAnalyzer(Analyzer):
                 estimators=set(),
             )
             ks = _KernelSlotExtra(idx, cfgobj)
+            ks.bucket = bucket
             self._inspectors[handle] = slot
             self._by_id[handle] = handle
             self._kslots[handle] = ks
@@ -313,10 +372,11 @@ class KernelAnalyzer(Analyzer):
                       reset_state: bool = False) -> None:
         c = ks.config
         name = slot.class_name
+        bucket = ks.bucket
         if name == "audio":
             cutoff = min(float(c["audio.cutoff"]),
-                         0.9 * self.audio_rate)
-            self._audio_bank.configure_channel(
+                         0.9 * bucket.audio_rate)
+            bucket.audio.configure_channel(
                 ks.idx, f0=slot.lo, bw=slot.bandwidth / 2.0,
                 mode=int(c["audio.demodulator"]), cutoff=cutoff,
                 volume=float(c["audio.volume"]),
@@ -324,8 +384,8 @@ class KernelAnalyzer(Analyzer):
                 squelch_level=float(c["audio.squelch-level"]),
                 agc=bool(c["agc.enabled"]), reset_state=reset_state)
             target = float(c["audio.sample-rate"])
-            ks.resampler = (_HostResampler(self.audio_rate, target)
-                            if abs(target - self.audio_rate) > 1e-6
+            ks.resampler = (_HostResampler(bucket.audio_rate, target)
+                            if abs(target - bucket.audio_rate) > 1e-6
                             else None)
         elif name in _DIGITAL:
             kw: dict[str, Any] = {}
@@ -351,8 +411,8 @@ class KernelAnalyzer(Analyzer):
                 kw.update(quad_demod=bool(c["fsk.quad-demod"]),
                           fsk_phase=float(c["fsk.phase"]))
             baud = max(float(c["clock.baud"]), 1e-3)
-            sps = max(2.0, self.channel_rate / baud)
-            self._rec_bank.configure_channel(
+            sps = max(2.0, bucket.channel_rate / baud)
+            bucket.rec.configure_channel(
                 ks.idx, kind=_DIGITAL[name], sps=sps, order=order,
                 loop_bw=loop_bw,
                 clock_gain=float(c["clock.gain"]),
@@ -364,7 +424,7 @@ class KernelAnalyzer(Analyzer):
                 reset_state=reset_state, **kw)
             # manual carrier offset shifts the channel mix (reference
             # AfcControl/AskControl offset semantics)
-            self._raw_bank.configure_channel(
+            bucket.raw.configure_channel(
                 ks.idx, f0=slot.lo + ks.offset)
 
     def set_inspector_config(self, handle: int, config: dict[str, Any],
@@ -401,10 +461,10 @@ class KernelAnalyzer(Analyzer):
         with self._lock:
             ks = self._kslots[handle]
             slot.lo = freq
-            self._raw_bank.configure_channel(ks.idx,
-                                             f0=freq + ks.offset)
+            ks.bucket.raw.configure_channel(ks.idx,
+                                            f0=freq + ks.offset)
             if slot.class_name == "audio":
-                self._audio_bank.configure_channel(ks.idx, f0=freq)
+                ks.bucket.audio.configure_channel(ks.idx, f0=freq)
         self._emit(InspectorMessage(
             inspector_kind=InspectorMessageKind.SET_FREQ,
             request_id=request_id, handle=handle, lo=freq,
@@ -418,9 +478,9 @@ class KernelAnalyzer(Analyzer):
         with self._lock:
             ks = self._kslots[handle]
             slot.bandwidth = bw
-            self._raw_bank.configure_channel(ks.idx, bw=bw / 2.0)
+            ks.bucket.raw.configure_channel(ks.idx, bw=bw / 2.0)
             if slot.class_name == "audio":
-                self._audio_bank.configure_channel(ks.idx, bw=bw / 2.0)
+                ks.bucket.audio.configure_channel(ks.idx, bw=bw / 2.0)
         self._emit(InspectorMessage(
             inspector_kind=InspectorMessageKind.SET_BANDWIDTH,
             request_id=request_id, handle=handle, bandwidth=bw,
@@ -433,9 +493,9 @@ class KernelAnalyzer(Analyzer):
         with self._lock:
             ks = self._kslots.pop(handle)
             # mask the slot: silence the audio column, then recycle
-            self._audio_bank.configure_channel(ks.idx, mode=0,
-                                               volume=0.0)
-            self._free_slots.append(ks.idx)
+            ks.bucket.audio.configure_channel(ks.idx, mode=0,
+                                              volume=0.0)
+            ks.bucket.free.append(ks.idx)
             self._by_id.pop(slot.inspector_id, None)
             del self._inspectors[handle]
         self._emit(InspectorMessage(
@@ -448,7 +508,18 @@ class KernelAnalyzer(Analyzer):
     # block compute on the kernel banks
     # ------------------------------------------------------------------
     def _compute_block(self, x: np.ndarray) -> list:
-        slots = list(self._inspectors.values())
+        msgs = []
+        by_bucket: dict[int, list] = {}
+        for slot in self._inspectors.values():
+            ks = self._kslots[slot.handle]
+            by_bucket.setdefault(ks.bucket.decimation, []).append(slot)
+        for d, slots in by_bucket.items():
+            msgs.extend(self._compute_bucket(self._buckets[d], slots,
+                                             x))
+        return msgs
+
+    def _compute_bucket(self, bucket: _Bucket, slots: list,
+                        x: np.ndarray) -> list:
         any_audio = any(s.class_name == "audio" for s in slots)
         any_digital = any(s.class_name in _DIGITAL for s in slots)
         # the [M, C] raw planes only cross to the host when a slot
@@ -458,15 +529,15 @@ class KernelAnalyzer(Analyzer):
             s.class_name in ("raw", "power") or s.estimators
             or s.spectrum_source for s in slots)
 
-        frames = self._raw_bank.frame(x)      # single shared framing
-        audio_out = (self._audio_bank.feed_frames(*frames)
+        frames = bucket.raw.frame(x)          # single shared framing
+        audio_out = (bucket.audio.feed_frames(*frames)
                      if any_audio else None)
         y_re = y_im = soft = strobe = None
         if need_host_raw or any_digital:
-            y_re, y_im = self._raw_bank.feed_frames(
+            y_re, y_im = bucket.raw.feed_frames(
                 *frames, fetch=need_host_raw)
         if any_digital:
-            soft, strobe = self._rec_bank.feed_planes(y_re, y_im)
+            soft, strobe = bucket.rec.feed_planes(y_re, y_im)
         if not need_host_raw:
             y_re = y_im = None
 
@@ -487,12 +558,12 @@ class KernelAnalyzer(Analyzer):
                 if ks.resampler is not None:
                     aud = ks.resampler(aud)
                 extras = {"squelch_open":
-                          bool(self._audio_bank.squelch_open()[idx])}
+                          bool(bucket.audio.squelch_open()[idx])}
                 msgs.append((slot, aud, extras, raw_col))
             elif name == "raw":
                 if bool(c["agc.enabled"]):
                     g = 1.0 / np.sqrt(max(
-                        float(self._raw_bank.block_power[idx]), 1e-9))
+                        float(bucket.raw.block_power[idx]), 1e-9))
                 else:
                     g = float(c["agc.gain"])
                 msgs.append((slot, raw_col * np.float32(g), {}, raw_col))

@@ -236,3 +236,41 @@ def test_engine_raw_inspector_passthrough():
     assert y.dtype == np.complex64
     # 0.8 amplitude × gain 2 → |y| ≈ 1.6 at DC after settle
     assert abs(np.mean(np.abs(y[1024:])) - 1.6) < 0.1
+
+
+def test_bucketed_decimation_different_equiv_rates():
+    """A wide audio and a narrow digital inspector in ONE session get
+    different equiv_rates (bucketed decimation classes; reference
+    per-inspector decimation, Tasks/LPFTask.cpp:52-69)."""
+    from sigdigger_tpu.analyzer.messages import MessageKind
+
+    fa, dev = 200.0, 2000.0
+    an = make_engine(
+        [Emitter(freq=60e3, amplitude=1.0, fm_rate=fa, fm_dev=dev),
+         Emitter(freq=-50e3, amplitude=0.8, kind="psk", order=4,
+                 baud=500.0)],
+        decimation=4, decimations=(4, 32))
+    # wide audio channel -> fast bucket (fs/4); narrow psk -> fs/32
+    h_a = an.open_inspector("audio", Channel(fc=60e3, bw=40e3),
+                            config={"audio.demodulator": 2,
+                                    "audio.volume": 1.0,
+                                    "audio.sample-rate": FS / 32})
+    h_p = an.open_inspector("psk", Channel(fc=-50e3, bw=2e3),
+                            config={"afc.bits-per-symbol": 2,
+                                    "clock.baud": 500.0})
+    opens = {m.handle: m for m in drain(an)
+             if m.kind == MessageKind.INSPECTOR}
+    assert opens[h_a].equiv_rate == FS / 4
+    assert opens[h_p].equiv_rate == FS / 32
+
+    aud, nsym = [], 0
+    for _ in range(4):
+        assert an.step()
+        for m in an.poll():
+            if m.kind == MessageKind.SAMPLES and m.handle == h_a:
+                aud.append(np.asarray(m.samples))
+            elif m.kind == MessageKind.SAMPLES and m.handle == h_p:
+                nsym += int(np.sum(m.extras.get("strobes", 0)))
+    a = np.concatenate(aud)
+    assert tone_snr(a, fa, FS / 32, skip=1024) > 20.0
+    assert nsym > 50
