@@ -222,6 +222,9 @@ def run_variant(name, **flags):
             grid=(1,),
             in_specs=[plane, plane, srows, row, row, row],
             out_specs=[plane, plane, plane, srows],
+            scratch_shapes=[
+                pltpu.VMEM((M + K - 1, CT), jnp.float32),
+                pltpu.VMEM((M + K - 1, CT), jnp.float32)],
         ),
         out_shape=[
             jax.ShapeDtypeStruct((M, CT), jnp.float32),
@@ -229,8 +232,6 @@ def run_variant(name, **flags):
             jax.ShapeDtypeStruct((M, CT), jnp.float32),
             jax.ShapeDtypeStruct((SROWS, CT), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((M + K - 1, CT), jnp.float32),
-                        pltpu.VMEM((M + K - 1, CT), jnp.float32)],
         interpret=False,
     ))
     rng = np.random.default_rng(0)

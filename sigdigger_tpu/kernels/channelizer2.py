@@ -46,6 +46,10 @@ class MatChannelizer2Config:
     m_tile: int = 2048           # Mt per grid program
     channel_tile: int = 128
     quad_gain: float = 1.0 / np.pi
+    # transfer discipline (VERDICT r2: halve e2e bytes per block):
+    in_i16: bool = False         # upload framed IQ as int16 (2x H2D)
+    i16_scale: float = 4096.0    # counts per unit (8x headroom)
+    audio_bf16: bool = False     # drain audio as bfloat16 (2x D2H)
 
     def __post_init__(self):
         assert self.block_out % self.m_tile == 0
@@ -80,13 +84,20 @@ def _local_band(cfg: MatChannelizer2Config) -> np.ndarray:
 def _kernel2(xw_re, xw_im, h_re, h_im, theta, m_ramp, phi0, prev_re,
              prev_im, ftail_in, bt, audio_ref, last_re_ref, last_im_ref,
              ftail_out_ref, scr_prev, scr_f,
-             *, mt: int, ka: int, m_tiles: int, quad_gain: float):
+             *, mt: int, ka: int, m_tiles: int, quad_gain: float,
+             in_gain: float = 1.0, audio_bf16: bool = False):
     mi = pl.program_id(1)
 
-    yr = jnp.dot(xw_re[:], h_re[:], preferred_element_type=jnp.float32) \
-        - jnp.dot(xw_im[:], h_im[:], preferred_element_type=jnp.float32)
-    yi = jnp.dot(xw_re[:], h_im[:], preferred_element_type=jnp.float32) \
-        + jnp.dot(xw_im[:], h_re[:], preferred_element_type=jnp.float32)
+    xr = xw_re[:]
+    xi = xw_im[:]
+    if xr.dtype != jnp.float32:
+        # int16 upload: dequantize in VMEM (in_gain = 1/i16_scale)
+        xr = xr.astype(jnp.float32) * jnp.float32(in_gain)
+        xi = xi.astype(jnp.float32) * jnp.float32(in_gain)
+    yr = jnp.dot(xr, h_re[:], preferred_element_type=jnp.float32) \
+        - jnp.dot(xi, h_im[:], preferred_element_type=jnp.float32)
+    yi = jnp.dot(xr, h_im[:], preferred_element_type=jnp.float32) \
+        + jnp.dot(xi, h_re[:], preferred_element_type=jnp.float32)
 
     # phi0 block row 0 already includes the mi*Mt*theta offset (host
     # f64), keeping trig arguments small enough for f32 precision (rows
@@ -112,8 +123,9 @@ def _kernel2(xw_re, xw_im, h_re, h_im, theta, m_ramp, phi0, prev_re,
     f = atan2(di, dr) * quad_gain
 
     scr_f[ka - 1:ka - 1 + mt, :] = f
-    audio_ref[:] = jnp.dot(bt[:], scr_f[0:mt + ka - 1, :],
-                           preferred_element_type=jnp.float32)
+    aud = jnp.dot(bt[:], scr_f[0:mt + ka - 1, :],
+                  preferred_element_type=jnp.float32)
+    audio_ref[:] = aud.astype(jnp.bfloat16) if audio_bf16 else aud
 
     # carry for the next time tile / the next block
     scr_prev[0:1, :] = rr[-1:, :]
@@ -237,12 +249,15 @@ class MatChannelizer2:
             ],
         )
         c = cfg.n_channels
+        audio_dtype = jnp.bfloat16 if cfg.audio_bf16 else jnp.float32
         call = pl.pallas_call(
             partial(_kernel2, mt=mt, ka=ka,
-                    m_tiles=m_tiles, quad_gain=cfg.quad_gain),
+                    m_tiles=m_tiles, quad_gain=cfg.quad_gain,
+                    in_gain=1.0 / cfg.i16_scale,
+                    audio_bf16=cfg.audio_bf16),
             grid_spec=grid_spec,
             out_shape=[
-                jax.ShapeDtypeStruct((cfg.audio_out, c), jnp.float32),
+                jax.ShapeDtypeStruct((cfg.audio_out, c), audio_dtype),
                 jax.ShapeDtypeStruct((1, c), jnp.float32),
                 jax.ShapeDtypeStruct((1, c), jnp.float32),
                 jax.ShapeDtypeStruct((ka - 1, c), jnp.float32),
@@ -284,13 +299,20 @@ class MatChannelizer2:
         return audio
 
     def _frame(self, x: np.ndarray) -> np.ndarray:
-        from sigdigger_tpu.native import frame_windows_packed
+        from sigdigger_tpu.native import (
+            frame_windows_packed,
+            frame_windows_packed_i16,
+        )
 
         cfg = self.cfg
         ext = np.concatenate([self._history,
                               np.asarray(x, np.complex64)])
-        xw = frame_windows_packed(ext, cfg.block_out, cfg.taps,
-                                  cfg.decimation)
+        if cfg.in_i16:
+            xw = frame_windows_packed_i16(ext, cfg.block_out, cfg.taps,
+                                          cfg.decimation, cfg.i16_scale)
+        else:
+            xw = frame_windows_packed(ext, cfg.block_out, cfg.taps,
+                                      cfg.decimation)
         self._history = ext[-(cfg.taps - 1):].copy()
         return xw
 

@@ -228,8 +228,15 @@ def _psd_kernel_xw(x_re, x_im, w2d, da_re, da_im, tw_re, tw_im, db_re,
     taps[a·B+b] as [A, B])."""
     acc = jnp.zeros((a, b), jnp.float32)
     for fi in range(fb):                      # static unroll
-        xr = x_re[fi * a:(fi + 1) * a, :] * w2d[:]
-        xi = x_im[fi * a:(fi + 1) * a, :] * w2d[:]
+        xr = x_re[fi * a:(fi + 1) * a, :]
+        xi = x_im[fi * a:(fi + 1) * a, :]
+        if xr.dtype != jnp.float32:
+            # int16-packed channelizer upload: dequantization scale is
+            # folded into w2d by the host
+            xr = xr.astype(jnp.float32)
+            xi = xi.astype(jnp.float32)
+        xr = xr * w2d[:]
+        xi = xi * w2d[:]
         s1r = jnp.dot(da_re[:], xr, preferred_element_type=jnp.float32) \
             - jnp.dot(da_im[:], xi, preferred_element_type=jnp.float32)
         s1i = jnp.dot(da_re[:], xi, preferred_element_type=jnp.float32) \
@@ -270,7 +277,8 @@ class PallasPSDFromXW(PallasPSD):
                  sample_rate: float,
                  window: WindowFunction = WindowFunction.BLACKMANN_HARRIS,
                  alpha: float = 0.25,
-                 interpret: bool | None = None) -> None:
+                 interpret: bool | None = None,
+                 in_scale: float = 1.0) -> None:
         super().__init__(cfg, sample_rate, window, alpha, interpret)
         a, b = cfg.a, cfg.b
         fb = cfg.frames_per_program
@@ -284,7 +292,10 @@ class PallasPSDFromXW(PallasPSD):
         k1 = np.arange(a)[:, None]
         bb = np.arange(b)[None, :]
         ang = -2.0 * np.pi * k1 * bb / cfg.fft_size
-        w2d = self._taps.astype(np.float32).reshape(a, b)
+        # in_scale: dequantization gain of an int16-packed upload,
+        # folded into the window constant
+        w2d = (self._taps.astype(np.float32).reshape(a, b)
+               * np.float32(in_scale))
         self._const = (jnp.asarray(w2d),
                        jnp.asarray(da_re), jnp.asarray(da_im),
                        jnp.asarray(np.cos(ang).astype(np.float32)),

@@ -196,7 +196,10 @@ def _recovery_kernel(y_re, y_im, state_in, w_psk, w_fsk, w_ask,
         err = jnp.where(is_strobe, err, 0.0) / jnp.maximum(power, 1e-9)
         err = jnp.clip(err, -2.0, 2.0)
 
-        period = jnp.clip(period - gfv * err, pmn, pmx)
+        # NOT jnp.clip: the 3-operand clamp with per-channel vector
+        # bounds trips the axon Mosaic layout check (SIGABRT in
+        # layout.h); binary min/max lowers fine
+        period = jnp.minimum(jnp.maximum(period - gfv * err, pmn), pmx)
         t = t + jnp.where(event, period * 0.5 - gpv * err, 0.0)
 
         st_re = jnp.where(is_strobe, ir, st_re)

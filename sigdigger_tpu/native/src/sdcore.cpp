@@ -63,6 +63,27 @@ void sd_frame_windows(const float* ext_iq,   // (K-1+M*D) I/Q pairs
     }
 }
 
+// int16 variant of sd_frame_windows: quantizes with `scale` and
+// saturates — halves the H2D bytes of the framed upload on
+// tunnel/PCIe-attached hosts (the Pallas kernel dequantizes in VMEM).
+void sd_frame_windows_i16(const float* ext_iq, int16_t* out_re,
+                          int16_t* out_im, int64_t m, int64_t k,
+                          int64_t d, float scale) {
+    for (int64_t row = 0; row < m; ++row) {
+        const float* src = ext_iq + 2 * row * d;
+        int16_t* re = out_re + row * k;
+        int16_t* im = out_im + row * k;
+        for (int64_t j = 0; j < k; ++j) {
+            float vr = src[2 * j] * scale;
+            float vi = src[2 * j + 1] * scale;
+            vr = vr < -32768.f ? -32768.f : (vr > 32767.f ? 32767.f : vr);
+            vi = vi < -32768.f ? -32768.f : (vi > 32767.f ? 32767.f : vi);
+            re[j] = (int16_t)(vr >= 0.f ? vr + 0.5f : vr - 0.5f);
+            im[j] = (int16_t)(vi >= 0.f ? vi + 0.5f : vi - 0.5f);
+        }
+    }
+}
+
 // Non-overlapping PSD framing with window taps and the Bailey [A, F*B]
 // layout: sample f*N + a*B + b → out[a, f*B + b].
 void sd_frame_psd(const float* x_iq,      // F*N I/Q pairs

@@ -64,6 +64,8 @@ class KernelReceiver:
         psk_order: int = 4,
         interpret: bool | None = None,
         snap_grid: bool = True,
+        in_i16: bool = False,
+        audio_bf16: bool = False,
     ) -> None:
         f0s = np.asarray(f0s, np.float64)
         n_channels = len(f0s)
@@ -84,7 +86,8 @@ class KernelReceiver:
                 sample_rate=float(sample_rate), n_channels=n_channels,
                 taps=64, decimation=decimation, audio_taps=64,
                 audio_decim=8, block_out=block_out, m_tile=m_tile,
-                channel_tile=tile,
+                channel_tile=tile, in_i16=in_i16,
+                audio_bf16=audio_bf16,
             )
             self._chan = MatChannelizer2(v2, f0s, bw,
                                          interpret=interpret,
@@ -129,7 +132,9 @@ class KernelReceiver:
 
             self._psd = PallasPSDFromXW(
                 psd_cfg, self.cfg.block_out, float(sample_rate),
-                WindowFunction.BLACKMANN_HARRIS, interpret=interpret)
+                WindowFunction.BLACKMANN_HARRIS, interpret=interpret,
+                in_scale=(1.0 / self._chan.cfg.i16_scale
+                          if in_i16 else 1.0))
         else:
             self._psd = PallasPSD(
                 psd_cfg, float(sample_rate),
@@ -175,7 +180,10 @@ class KernelReceiver:
         psd_h, a, b = handle
         psd = self._psd.fold(np.asarray(psd_h))
         if self.mode == "fm":
-            return ReceiverBlock(psd=psd, audio=np.asarray(a))
+            audio = np.asarray(a)
+            if audio.dtype != np.float32:      # bf16 drain
+                audio = audio.astype(np.float32)
+            return ReceiverBlock(psd=psd, audio=audio)
         return ReceiverBlock(psd=psd, symbols=a, strobes=b)
 
     def run(self, source: SignalSource,

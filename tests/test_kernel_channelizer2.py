@@ -70,3 +70,41 @@ def test_v2_block_split_exact():
         f0s, 8e3, interpret=True)
     ref = big.feed(x)
     assert np.allclose(got, ref, atol=1e-4)
+
+
+def test_i16_upload_bf16_drain_equivalence():
+    """Transfer-discipline path (int16 IQ upload + bf16 audio drain)
+    matches the f32 path within quantization bounds — VERDICT r2
+    'halve e2e bytes per block'."""
+    import numpy as np
+
+    from sigdigger_tpu.receiver import KernelReceiver
+
+    def mk(**kw):
+        return KernelReceiver(
+            sample_rate=1_024_000.0,
+            f0s=np.linspace(-400e3, 400e3, 8), bw=20e3, mode="fm",
+            decimation=16, block_out=512, psd_fft=1024,
+            interpret=True, **kw)
+
+    rx_f32 = mk()
+    rx_i16 = mk(in_i16=True, audio_bf16=True)
+    rng = np.random.default_rng(0)
+    n = rx_f32.block_in
+    t = np.arange(4 * n) / 1_024_000.0
+    x = (0.5 * np.exp(2j * np.pi * (100e3 + 3e3 *
+                                    np.sin(2 * np.pi * 400 * t)) * t)
+         + 0.05 * (rng.standard_normal(4 * n)
+                   + 1j * rng.standard_normal(4 * n))
+         ).astype(np.complex64)
+    for i in range(4):
+        blk = x[i * n:(i + 1) * n]
+        a = rx_f32.feed(blk)
+        b = rx_i16.feed(blk)
+    assert b.audio.dtype == np.float32
+    # audio equal within int16-quantization + bf16 rounding
+    err = np.abs(b.audio - a.audio)
+    assert err.max() < 0.02, err.max()
+    # PSD equal within quantization noise floor (relative)
+    rel = np.abs(b.psd - a.psd) / (np.abs(a.psd).max())
+    assert rel.max() < 0.01, rel.max()
