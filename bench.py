@@ -65,6 +65,9 @@ def bench_end_to_end(iters: int = 24) -> tuple[float, dict]:
         f0s=np.linspace(-48e6, 48e6, N_CHANNELS), bw=800e3,
         mode="fm", decimation=64, block_out=BLOCK_OUT,
         psd_fft=PSD_FFT, interpret=False,
+        # transfer discipline: int16 IQ upload + bf16 audio drain halve
+        # the per-block bytes through the tunnel/PCIe
+        in_i16=True, audio_bf16=True,
     )
     blocks = _make_blocks(rx.block_in, n=iters + 2)
     for b in blocks[:2]:                      # warm + state settle

@@ -19,17 +19,20 @@ from typing import Iterator
 
 import numpy as np
 
-from sigdigger_tpu.kernels.channelizer import (
-    MatChannelizer,
-    MatChannelizerConfig,
-)
+from sigdigger_tpu.kernels.channelizer import MatChannelizerConfig
 from sigdigger_tpu.kernels.channelizer2 import (
     MatChannelizer2,
     MatChannelizer2Config,
 )
-from sigdigger_tpu.kernels.digital import DigitalKernel, DigitalKernelConfig
 from sigdigger_tpu.kernels.fft import PallasPSD, PallasPSDConfig
-from sigdigger_tpu.kernels.psk import PskKernel, PskKernelConfig
+from sigdigger_tpu.kernels.rawbank import RawBank, RawBankConfig
+from sigdigger_tpu.kernels.recovery import (
+    KIND_ASK,
+    KIND_FSK,
+    KIND_PSK,
+    RecoveryBank,
+    RecoveryBankConfig,
+)
 from sigdigger_tpu.sources.base import SignalSource
 from sigdigger_tpu.types import WindowFunction
 
@@ -94,28 +97,31 @@ class KernelReceiver:
                                          snap_grid=snap_grid)
             self._rec = None
         else:
-            # raw channelizer: quad_gain unused; reuse the fused kernel
-            # with audio pass as a passthrough is wasteful — channelize
-            # via the fused kernel's Y by setting audio_decim=1 would
-            # change shapes; instead run the raw overlap-save extractor
-            # on host? No: reuse MatChannelizer but consume its rotated
-            # Y via the demod kernels requires the pre-demod signal.
-            # The recovery kernels take channelized baseband directly,
-            # so here we build a raw-output channelizer variant.
-            self._chan = _RawMatChannelizer(self.cfg, f0s, bw,
-                                            interpret=interpret)
+            # digital modes run on the SAME bank kernels the dynamic
+            # analyzer serves with (kernels/rawbank.py +
+            # kernels/recovery.py) — one kernel stack for the benched
+            # and the featured paths (VERDICT r2 convergence ask)
+            self._chan = None
+            self._raw = RawBank(RawBankConfig(
+                sample_rate=float(sample_rate), n_channels=n_channels,
+                taps=64, decimation=decimation, block_out=block_out,
+                m_tile=min(2048, block_out), channel_tile=tile,
+            ), interpret=interpret)
+            self._rec = RecoveryBank(RecoveryBankConfig(
+                n_channels=n_channels, block_len=block_out,
+                channel_tile=tile,
+            ), interpret=interpret)
+            kind = {"psk": KIND_PSK, "fsk": KIND_FSK,
+                    "ask": KIND_ASK}[mode]
             sps = self.channel_rate / float(baud or
                                             (self.channel_rate / 4))
-            if mode == "psk":
-                self._rec = PskKernel(PskKernelConfig(
-                    n_channels=n_channels, block_len=block_out,
-                    sps=sps, order=psk_order, channel_tile=tile,
-                ), interpret=interpret)
-            else:
-                self._rec = DigitalKernel(DigitalKernelConfig(
-                    n_channels=n_channels, block_len=block_out,
-                    mode=mode, sps=sps, channel_tile=tile,
-                ), interpret=interpret)
+            for i, f0 in enumerate(f0s):
+                self._raw.configure_channel(i, f0=float(f0), bw=bw)
+                self._rec.configure_channel(
+                    i, kind=kind, sps=sps,
+                    order=psk_order if mode == "psk" else 2,
+                    loop_bw=0.005, clock_gain=0.05,
+                    use_mf=(mode == "psk"))
         psd_cfg = PallasPSDConfig(
             fft_size=psd_fft,
             frames_per_block=self.cfg.block_in // psd_fft,
@@ -172,8 +178,10 @@ class KernelReceiver:
         psd_h = self._psd.feed_async(x)
         if self.mode == "fm":
             return (psd_h, self._chan.feed_async(x), None)
-        y = self._chan.feed(x)
-        soft, strobes = self._rec.feed(y)
+        # device-resident chaining: the raw planes never visit the host
+        y_re, y_im = self._raw.feed_frames(*self._raw.frame(x),
+                                           fetch=False)
+        soft, strobes = self._rec.feed_planes(y_re, y_im)
         return (psd_h, soft, strobes)
 
     def drain(self, handle) -> ReceiverBlock:
@@ -206,86 +214,3 @@ class KernelReceiver:
                 yield self.drain(inflight.popleft())
         while inflight:
             yield self.drain(inflight.popleft())
-
-
-class _RawMatChannelizer(MatChannelizer):
-    """MatChannelizer variant emitting the rotated baseband Y [M, C]
-    instead of demodulated audio (feeds the PSK/FSK/ASK kernels)."""
-
-    def _build(self):
-        import jax
-        import jax.numpy as jnp
-        from jax.experimental import pallas as pl
-        from jax.experimental.pallas import tpu as pltpu
-
-        cfg = self.cfg
-        ct = cfg.channel_tile
-        n_tiles = cfg.n_channels // ct
-        m, k = cfg.block_out, cfg.taps
-
-        def kernel(xw_re, xw_im, h_re, h_im, theta, m_ramp, phi0,
-                   y_re_ref, y_im_ref):
-            yr = jnp.dot(xw_re[:], h_re[:],
-                         preferred_element_type=jnp.float32) \
-                - jnp.dot(xw_im[:], h_im[:],
-                          preferred_element_type=jnp.float32)
-            yi = jnp.dot(xw_re[:], h_im[:],
-                         preferred_element_type=jnp.float32) \
-                + jnp.dot(xw_im[:], h_re[:],
-                          preferred_element_type=jnp.float32)
-            ph = phi0[:] + m_ramp[:] * theta[:]
-            cr = jnp.cos(ph)
-            ci = -jnp.sin(ph)
-            y_re_ref[:] = yr * cr - yi * ci
-            y_im_ref[:] = yr * ci + yi * cr
-
-        grid_spec = pl.GridSpec(
-            grid=(n_tiles,),
-            in_specs=[
-                pl.BlockSpec((m, k), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((m, k), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((k, ct), lambda i: (0, i),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((k, ct), lambda i: (0, i),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, ct), lambda i: (0, i),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((m, 1), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, ct), lambda i: (0, i),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=[
-                pl.BlockSpec((m, ct), lambda i: (0, i),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((m, ct), lambda i: (0, i),
-                             memory_space=pltpu.VMEM),
-            ],
-        )
-        c = cfg.n_channels
-        call = pl.pallas_call(
-            kernel, grid_spec=grid_spec,
-            out_shape=[jax.ShapeDtypeStruct((m, c), jnp.float32),
-                       jax.ShapeDtypeStruct((m, c), jnp.float32)],
-            interpret=self.interpret,
-        )
-        return jax.jit(call)
-
-    def feed(self, x: np.ndarray) -> np.ndarray:
-        from sigdigger_tpu.native import frame_windows
-
-        cfg = self.cfg
-        ext = np.concatenate([self._history,
-                              np.asarray(x, np.complex64)])
-        xw_re, xw_im = frame_windows(ext, cfg.block_out, cfg.taps,
-                                     cfg.decimation)
-        self._history = ext[-(cfg.taps - 1):].copy()
-        phi0 = np.mod(self._phi, 2.0 * np.pi).astype(np.float32)
-        y_re, y_im = self._call(
-            xw_re, xw_im, self.consts["h_re"], self.consts["h_im"],
-            self.consts["theta"], self.consts["m_ramp"], phi0,
-        )
-        self._phi = self._phi + self._theta64[None, :] * cfg.block_out
-        return np.asarray(y_re) + 1j * np.asarray(y_im)

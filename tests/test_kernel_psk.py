@@ -1,9 +1,18 @@
-"""Batched PSK Pallas kernel (interpret mode) — QPSK end-to-end."""
+"""Batched PSK recovery on the unified bank kernel (interpret mode).
+
+Originally written against the round-1 PskKernel; the receiver and the
+analyzer now share ONE digital stack (kernels/recovery.py), so these
+QPSK end-to-end and streaming-exactness properties pin that kernel.
+"""
 
 import numpy as np
 
 from sigdigger_tpu.dsp.filters import fir_apply, rrc_taps
-from sigdigger_tpu.kernels.psk import PskKernel, PskKernelConfig
+from sigdigger_tpu.kernels.recovery import (
+    KIND_PSK,
+    RecoveryBank,
+    RecoveryBankConfig,
+)
 
 
 def make_qpsk(nsym, sps, f_off=0.0, seed=0):
@@ -18,24 +27,31 @@ def make_qpsk(nsym, sps, f_off=0.0, seed=0):
     return (bb * np.exp(2j * np.pi * f_off * k)).astype(np.complex64), syms
 
 
+def make_bank(block_len, sps=4.0, clock_gain=0.08):
+    cfg = RecoveryBankConfig(n_channels=8, block_len=block_len,
+                             channel_tile=8)
+    bank = RecoveryBank(cfg, interpret=True)
+    for c in range(8):
+        bank.configure_channel(c, kind=KIND_PSK, sps=sps, order=4,
+                               loop_bw=0.005, clock_gain=clock_gain)
+    return bank
+
+
 def test_psk_kernel_recovers_qpsk():
-    cfg = PskKernelConfig(n_channels=8, block_len=512, sps=4.0,
-                          order=4, loop_bw=0.005, clock_gain=0.08,
-                          channel_tile=8)
-    pk = PskKernel(cfg, interpret=True)
+    bank = make_bank(512)
     nsym = 2048
     x, syms = make_qpsk(nsym, 4, f_off=0.002)
     y = np.tile(x[:, None], (1, 8))       # same signal on all channels
     all_sym = []
     all_strobe = []
-    for i in range(0, nsym * 4, cfg.block_len):
-        s, st = pk.feed(y[i:i + cfg.block_len])
+    for i in range(0, nsym * 4, 512):
+        s, st = bank.feed(y[i:i + 512])
         all_sym.append(s)
         all_strobe.append(st)
     sym = np.concatenate(all_sym, axis=0)
     strobe = np.concatenate(all_strobe, axis=0)
     # period locked near sps on every channel
-    assert np.allclose(pk.period_estimate, 4.0, atol=0.1)
+    assert np.allclose(bank.period_estimate, 4.0, atol=0.1)
     for c in (0, 7):
         got = sym[:, c][strobe[:, c]]
         assert len(got) > nsym * 0.95
@@ -45,17 +61,13 @@ def test_psk_kernel_recovers_qpsk():
 
 
 def test_psk_kernel_streaming_state():
-    cfg = PskKernelConfig(n_channels=8, block_len=256, sps=4.0,
-                          channel_tile=8)
-    pk1 = PskKernel(cfg, interpret=True)
     x, _ = make_qpsk(512, 4, seed=3)
     y = np.tile(x[:, None], (1, 8))[:1024]
-    out1 = [pk1.feed(y[i:i + 256]) for i in range(0, 1024, 256)]
+    bank1 = make_bank(256)
+    out1 = [bank1.feed(y[i:i + 256]) for i in range(0, 1024, 256)]
     sym1 = np.concatenate([o[0] for o in out1], axis=0)
 
-    cfg2 = PskKernelConfig(n_channels=8, block_len=1024, sps=4.0,
-                           channel_tile=8)
-    pk2 = PskKernel(cfg2, interpret=True)
-    sym2, _ = pk2.feed(y)
+    bank2 = make_bank(1024)
+    sym2, _ = bank2.feed(y)
     # identical math: split vs one-shot must agree exactly
     assert np.allclose(sym1, sym2, atol=1e-4)

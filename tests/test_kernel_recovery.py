@@ -150,39 +150,6 @@ def test_recovery_mixed_kinds_per_channel():
     assert np.all(np.abs(sym[:, 64]) < 1e-3)
 
 
-def test_recovery_matches_psk_kernel():
-    """All-PSK bank reproduces the round-1 PskKernel on the same
-    signal (same loop constants, same taps)."""
-    from sigdigger_tpu.kernels.psk import PskKernel, PskKernelConfig
-
-    n = 4096
-    x, _ = make_psk(n // 4, 4.0, order=4, f_off=0.001, seed=7)
-    y = np.tile(x[:n, None], (1, 8)).astype(np.complex64)
-
-    old = PskKernel(PskKernelConfig(
-        n_channels=8, block_len=512, sps=4.0, order=4, loop_bw=0.005,
-        clock_gain=0.08, channel_tile=8), interpret=True)
-
-    cfg = RecoveryBankConfig(n_channels=8, block_len=512,
-                             mf_taps_max=64, channel_tile=8)
-    bank = RecoveryBank(cfg, interpret=True)
-    for c in range(8):
-        bank.configure_channel(c, kind=KIND_PSK, sps=4.0, order=4,
-                               loop_bw=0.005, clock_gain=0.08)
-
-    s_old, s_new = [], []
-    for i in range(0, n, 512):
-        so, _ = old.feed(y[i:i + 512])
-        sn, _ = bank.feed(y[i:i + 512])
-        s_old.append(so)
-        s_new.append(sn)
-    s_old = np.concatenate(s_old, axis=0)
-    s_new = np.concatenate(s_new, axis=0)
-    # identical loop math (the old kernel's RRC span=6 at sps=4 fits
-    # the bank's 64-tap budget exactly)
-    np.testing.assert_allclose(s_new, s_old, atol=2e-4)
-
-
 def test_recovery_streaming_state():
     cfg1 = RecoveryBankConfig(n_channels=8, block_len=256,
                               channel_tile=8)
