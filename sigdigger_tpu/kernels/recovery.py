@@ -71,10 +71,17 @@ class RecoveryBankConfig:
     mf_taps_max: int = 64        # K: per-channel MF tap budget
     eq_taps: int = 5             # CMA equalizer taps (static)
     channel_tile: int = 128
+    m_tile: int = 0              # Mt per grid program (0 → auto ≤2048)
     dc_alpha: float = 0.9995     # ASK DC follower pole
 
     def __post_init__(self):
         assert self.n_channels % self.channel_tile == 0
+        if self.m_tile == 0:
+            mt = min(self.block_len, 2048)
+            while self.block_len % mt:
+                mt -= 1
+            object.__setattr__(self, "m_tile", mt)
+        assert self.block_len % self.m_tile == 0
 
 
 def _recovery_kernel(y_re, y_im, state_in, w_psk, w_fsk, w_ask,
@@ -82,13 +89,23 @@ def _recovery_kernel(y_re, y_im, state_in, w_psk, w_fsk, w_ask,
                      fsk_cos, fsk_sin, w_quad, w_coh, w_run,
                      eq_en, eq_rate, mf,
                      out_sym_re, out_sym_im, out_strobe, state_out,
-                     scr_re, scr_im,
-                     *, m: int, k: int, keq: int, dc_alpha: float):
+                     scr_re, scr_im, scr_mf_re, scr_mf_im, scr_carry,
+                     *, mt: int, k: int, keq: int, m_tiles: int,
+                     dc_alpha: float):
     # state rows: 0 lo_re, 1 lo_im, 2 freq | 3 qprev_re, 4 qprev_im |
     # 5 dc | 6 t, 7 period, 8 gprev_re, 9 gprev_im, 10 mid_re,
     # 11 mid_im, 12 st_re, 13 st_im, 14 want_mid, 15 power |
     # 16.. MF tails re then im (k-1 rows each) |
     # then EQ taps re/im (keq each) and EQ delay line re/im (keq each)
+    #
+    # Grid is (channel tiles, time tiles) with time innermost
+    # SEQUENTIAL: loop/tail state rides scr_carry / scr planes across
+    # time tiles (VMEM budget stays ~Mt-sized however long the block),
+    # seeded from the block-carry state at tile 0 and drained to
+    # state_out at the last tile — same pattern as kernels/audio.py.
+    mi = pl.program_id(1)
+    eq_base = 16 + 2 * (k - 1)
+    ncar = 16 + 4 * keq
     al = alpha[0, :]
     be = beta[0, :]
     wp = w_psk[0, :]
@@ -106,6 +123,13 @@ def _recovery_kernel(y_re, y_im, state_in, w_psk, w_fsk, w_ask,
     eqe = eq_en[0, :]
     eqr = eq_rate[0, :]
     adc = jnp.float32(dc_alpha)
+
+    @pl.when(mi == 0)
+    def _():
+        scr_re[0:k - 1, :] = state_in[16:16 + (k - 1), :]
+        scr_im[0:k - 1, :] = state_in[16 + (k - 1):16 + 2 * (k - 1), :]
+        scr_carry[0:16, :] = state_in[0:16, :]
+        scr_carry[16:ncar, :] = state_in[eq_base:eq_base + 4 * keq, :]
 
     # ----- pass 1: blended front-end --------------------------------------
     def front_step(i, carry):
@@ -148,38 +172,35 @@ def _recovery_kernel(y_re, y_im, state_in, w_psk, w_fsk, w_ask,
         scr_im[i + (k - 1), :] = wp * ri
         return nr * inv, ni * inv, freq, xr, xi, dc
 
-    # prefill MF tails from carried state
-    scr_re[0:k - 1, :] = state_in[16:16 + (k - 1), :]
-    scr_im[0:k - 1, :] = state_in[16 + (k - 1):16 + 2 * (k - 1), :]
-
-    carry0 = tuple(state_in[i, :] for i in range(6))
-    lo_re, lo_im, freq, qpr, qpi, dc = jax.lax.fori_loop(
-        0, m, front_step, carry0)
-    new_tail_re = scr_re[m:m + (k - 1), :]
-    new_tail_im = scr_im[m:m + (k - 1), :]
+    carry0 = tuple(scr_carry[i, :] for i in range(6))
+    front_out = jax.lax.fori_loop(0, mt, front_step, carry0)
+    for i in range(6):
+        scr_carry[i, :] = front_out[i]
 
     # ----- pass 2: per-channel matched filter -----------------------------
-    fr = mf[0:1, :] * scr_re[k - 1:k - 1 + m, :]
-    fi = mf[0:1, :] * scr_im[k - 1:k - 1 + m, :]
+    fr = mf[0:1, :] * scr_re[k - 1:k - 1 + mt, :]
+    fi = mf[0:1, :] * scr_im[k - 1:k - 1 + mt, :]
     for t in range(1, k):
-        fr = fr + mf[t:t + 1, :] * scr_re[k - 1 - t:k - 1 - t + m, :]
-        fi = fi + mf[t:t + 1, :] * scr_im[k - 1 - t:k - 1 - t + m, :]
-    scr_re[0:m, :] = fr
-    scr_im[0:m, :] = fi
+        fr = fr + mf[t:t + 1, :] * scr_re[k - 1 - t:k - 1 - t + mt, :]
+        fi = fi + mf[t:t + 1, :] * scr_im[k - 1 - t:k - 1 - t + mt, :]
+    scr_mf_re[:] = fr
+    scr_mf_im[:] = fi
+    # carry the raw-plane tails into the next time tile
+    scr_re[0:k - 1, :] = scr_re[mt:mt + k - 1, :]
+    scr_im[0:k - 1, :] = scr_im[mt:mt + k - 1, :]
 
     # ----- pass 3: Gardner + fused per-strobe CMA equalizer ---------------
     gpv = gp[0, :]
     gfv = gf[0, :]
     pmn = pmin[0, :]
     pmx = pmax[0, :]
-    eq_base = 16 + 2 * (k - 1)
 
     def gardner_step(i, carry):
         (t, period, prev_re, prev_im, mid_re, mid_im, st_re, st_im,
          want_mid, power) = carry[:10]
         eq = carry[10:]
-        xr = scr_re[i, :]
-        xi = scr_im[i, :]
+        xr = scr_mf_re[i, :]
+        xi = scr_mf_im[i, :]
         t = t - 1.0
         event = t <= 0.0
         frac = jnp.clip(t + 1.0, 0.0, 1.0)
@@ -250,22 +271,22 @@ def _recovery_kernel(y_re, y_im, state_in, w_psk, w_fsk, w_ask,
                  want_mid, power) + tuple(etr) + tuple(eti)
                 + tuple(nbr) + tuple(nbi))
 
-    carry = tuple(state_in[i, :] for i in range(6, 16)) \
-        + tuple(state_in[eq_base + i, :] for i in range(4 * keq))
-    carry = jax.lax.fori_loop(0, m, gardner_step, carry)
-
-    state_out[0, :] = lo_re
-    state_out[1, :] = lo_im
-    state_out[2, :] = freq
-    state_out[3, :] = qpr
-    state_out[4, :] = qpi
-    state_out[5, :] = dc
+    carry = tuple(scr_carry[6 + i, :] for i in range(10)) \
+        + tuple(scr_carry[16 + i, :] for i in range(4 * keq))
+    carry = jax.lax.fori_loop(0, mt, gardner_step, carry)
     for i in range(10):
-        state_out[6 + i, :] = carry[i]
-    state_out[16:16 + (k - 1), :] = new_tail_re
-    state_out[16 + (k - 1):16 + 2 * (k - 1), :] = new_tail_im
+        scr_carry[6 + i, :] = carry[i]
     for i in range(4 * keq):
-        state_out[eq_base + i, :] = carry[10 + i]
+        scr_carry[16 + i, :] = carry[10 + i]
+
+    @pl.when(mi == m_tiles - 1)
+    def _():
+        state_out[0:16, :] = scr_carry[0:16, :]
+        state_out[16:16 + (k - 1), :] = scr_re[0:k - 1, :]
+        state_out[16 + (k - 1):16 + 2 * (k - 1), :] = \
+            scr_im[0:k - 1, :]
+        state_out[eq_base:eq_base + 4 * keq, :] = \
+            scr_carry[16:ncar, :]
 
 
 class RecoveryBank:
@@ -442,20 +463,25 @@ class RecoveryBank:
                jit: bool = True):
         cfg = cfg or self.cfg
         m, ct, k = cfg.block_len, cfg.channel_tile, cfg.mf_taps_max
-        n_tiles = cfg.n_channels // ct
+        mt = cfg.m_tile
+        keq = cfg.eq_taps
+        c_tiles = cfg.n_channels // ct
+        m_tiles = m // mt
 
         def row(_):
-            return pl.BlockSpec((1, ct), lambda i: (0, i),
+            return pl.BlockSpec((1, ct), lambda ci, mi: (0, ci),
                                 memory_space=pltpu.VMEM)
 
-        plane = pl.BlockSpec((m, ct), lambda i: (0, i),
+        plane = pl.BlockSpec((mt, ct), lambda ci, mi: (mi, ci),
                              memory_space=pltpu.VMEM)
+        state_spec = pl.BlockSpec((self.STATE_ROWS, ct),
+                                  lambda ci, mi: (0, ci),
+                                  memory_space=pltpu.VMEM)
         grid_spec = pl.GridSpec(
-            grid=(n_tiles,),
+            grid=(c_tiles, m_tiles),      # mi innermost, sequential
             in_specs=[
                 plane, plane,
-                pl.BlockSpec((self.STATE_ROWS, ct), lambda i: (0, i),
-                             memory_space=pltpu.VMEM),
+                state_spec,
                 row(0), row(0), row(0),              # w_psk/fsk/ask
                 row(0), row(0), row(0), row(0),      # w1/w2/w4/w8
                 row(0), row(0),                      # alpha, beta
@@ -463,23 +489,25 @@ class RecoveryBank:
                 row(0), row(0), row(0),              # fsk_cos/sin, w_quad
                 row(0), row(0),                      # w_coh, w_run
                 row(0), row(0),                      # eq_en, eq_rate
-                pl.BlockSpec((k, ct), lambda i: (0, i),
+                pl.BlockSpec((k, ct), lambda ci, mi: (0, ci),
                              memory_space=pltpu.VMEM),  # mf
             ],
             out_specs=[
                 plane, plane, plane,
-                pl.BlockSpec((self.STATE_ROWS, ct), lambda i: (0, i),
-                             memory_space=pltpu.VMEM),
+                state_spec,
             ],
             scratch_shapes=[
-                pltpu.VMEM((m + k - 1, ct), jnp.float32),
-                pltpu.VMEM((m + k - 1, ct), jnp.float32),
+                pltpu.VMEM((mt + k - 1, ct), jnp.float32),   # raw ext
+                pltpu.VMEM((mt + k - 1, ct), jnp.float32),
+                pltpu.VMEM((mt, ct), jnp.float32),           # MF out
+                pltpu.VMEM((mt, ct), jnp.float32),
+                pltpu.VMEM((16 + 4 * keq, ct), jnp.float32),  # carries
             ],
         )
         c = cfg.n_channels
         call = pl.pallas_call(
-            partial(_recovery_kernel, m=m, k=k, keq=cfg.eq_taps,
-                    dc_alpha=cfg.dc_alpha),
+            partial(_recovery_kernel, mt=mt, k=k, keq=keq,
+                    m_tiles=m_tiles, dc_alpha=cfg.dc_alpha),
             grid_spec=grid_spec,
             out_shape=[
                 jax.ShapeDtypeStruct((m, c), jnp.float32),
