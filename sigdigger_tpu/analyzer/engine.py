@@ -230,6 +230,66 @@ class Analyzer:
     def set_throttle(self, enabled: bool) -> None:
         self.profile.throttle = bool(enabled)
 
+    # sync source setters (reference Suscan/Analyzer.cpp:117-273)
+    def set_gain(self, name: str, value: float) -> None:
+        self.profile.gains[str(name)] = float(value)
+        self.emit_source_info()
+
+    def set_antenna(self, name: str) -> None:
+        self.profile.antenna = str(name)
+        self.emit_source_info()
+
+    def set_bandwidth(self, bw: float) -> None:
+        self.profile.bandwidth = float(bw)
+        self.emit_source_info()
+
+    def set_ppm(self, ppm: float) -> None:
+        self.profile.ppm = float(ppm)
+        self.emit_source_info()
+
+    def set_dc_remove(self, enabled: bool) -> None:
+        self.profile.dc_remove = bool(enabled)
+        self.emit_source_info()
+
+    def set_iq_reverse(self, enabled: bool) -> None:
+        self.profile.iq_reverse = bool(enabled)
+        self.emit_source_info()
+
+    def set_agc(self, enabled: bool) -> None:
+        self.profile.agc = bool(enabled)
+        self.emit_source_info()
+
+    def set_sweep_strategy(self, strategy) -> None:
+        from sigdigger_tpu.types import SweepStrategy
+
+        self.params.sweep_strategy = (
+            strategy if isinstance(strategy, SweepStrategy)
+            else SweepStrategy(str(strategy)))
+
+    def set_spectrum_partitioning(self, part) -> None:
+        from sigdigger_tpu.types import SpectrumPartitioning
+
+        self.params.spectrum_partitioning = (
+            part if isinstance(part, SpectrumPartitioning)
+            else SpectrumPartitioning(str(part)))
+
+    def set_buffering_size(self, size: int) -> None:
+        """Sweep-mode block size (reference Scanner RTT-based buffering,
+        Panoramic/Scanner.cpp:494-500)."""
+        self.block_size = max(1, int(size))
+
+    def set_history_size(self, size: int) -> None:
+        self._history_size = max(0, int(size))
+
+    def replay(self, enabled: bool) -> None:
+        if not self.source.seekable:
+            self._emit(StatusMessage(code=-1,
+                                     message="source not seekable"))
+            return
+        if enabled:
+            with self._lock:
+                self.source.seek(0)
+
     def seek(self, position: int) -> None:
         if not self.source.seekable:
             self._emit(StatusMessage(code=-1, message="source not seekable"))
@@ -301,8 +361,9 @@ class Analyzer:
         ))
         return True
 
-    def emit_source_info(self) -> None:
-        info = SourceInfo(
+    @property
+    def source_info(self) -> SourceInfo:
+        return SourceInfo(
             sample_rate=self.source.sample_rate,
             measured_sample_rate=self._measured_rate or
             self.source.sample_rate,
@@ -313,11 +374,14 @@ class Analyzer:
             antenna=self.profile.antenna,
             dc_remove=self.profile.dc_remove,
             iq_reverse=self.profile.iq_reverse,
+            agc_enabled=self.profile.agc,
             seekable=self.source.seekable,
             has_time=self.profile.start_time > 0,
             gains=dict(self.profile.gains),
         )
-        self._emit(SourceInfoMessage(info=info))
+
+    def emit_source_info(self) -> None:
+        self._emit(SourceInfoMessage(info=self.source_info))
 
     # ------------------------------------------------------------------
     # inspector API (async protocol, reference Suscan/Analyzer.cpp:411-598)

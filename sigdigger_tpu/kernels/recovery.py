@@ -77,7 +77,10 @@ class RecoveryBankConfig:
     def __post_init__(self):
         assert self.n_channels % self.channel_tile == 0
         if self.m_tile == 0:
-            mt = min(self.block_len, 2048)
+            # 1024 keeps the program's VMEM (double-buffered in/out
+            # planes + MF/raw scratch) within the 16 MB budget; 2048
+            # measured 17.1 MB on the real chip
+            mt = min(self.block_len, 1024)
             while self.block_len % mt:
                 mt -= 1
             object.__setattr__(self, "m_tile", mt)

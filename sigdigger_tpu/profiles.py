@@ -34,6 +34,7 @@ class SourceProfile:
     dc_remove: bool = False
     iq_balance: bool = False
     iq_reverse: bool = False
+    agc: bool = False             # hardware/source AGC
     loop: bool = False
     throttle: bool = False        # pace file replay to wall clock
     start_time: float = 0.0       # capture timestamp (epoch seconds)

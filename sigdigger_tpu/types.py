@@ -181,6 +181,7 @@ class SourceInfo:
     PERM_SEEK = 1 << 14
     PERM_THROTTLE = 1 << 15
     PERM_SET_BB_FILTER = 1 << 16
+    PERM_ALL = (1 << 17) - 1
 
     def test_permission(self, bit: int) -> bool:
         return bool(self.permissions & bit)
