@@ -149,7 +149,14 @@ def bench_engine(iters: int = 10) -> tuple[float, dict]:
 
 
 def bench_kernel() -> tuple[float, dict]:
-    """Device-resident chained dispatches (kernel + dispatch only)."""
+    """Device-resident dispatches, timed exactly as the receiver issues
+    them: the fused channelizer and the shared-upload PSD as BACK-TO-
+    BACK pallas dispatches (carries chained device-side), with DISTINCT
+    pre-uploaded window buffers per iteration — no outer jit mixing XLA
+    elementwise ops with the pallas calls (measured ~5x overhead on the
+    axon backend: `+` between two chained pallas_calls inflated 0.22 ms
+    of kernels to ~1 ms), and no content-repeat the tunnel could dedupe.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -157,8 +164,7 @@ def bench_kernel() -> tuple[float, dict]:
         MatChannelizer2,
         MatChannelizer2Config,
     )
-    from sigdigger_tpu.kernels.fft import PallasPSD, PallasPSDConfig
-    from sigdigger_tpu.types import WindowFunction
+    from sigdigger_tpu.kernels.fft import PallasPSDConfig, PallasPSDFromXW
     from sigdigger_tpu.utils import roofline
 
     cfg = MatChannelizer2Config(
@@ -169,51 +175,36 @@ def bench_kernel() -> tuple[float, dict]:
     f0s = np.linspace(-48e6, 48e6, cfg.n_channels)
     mc = MatChannelizer2(cfg, f0s, bw=800e3, interpret=False)
 
-    # frames_per_program = all frames: one PSD program per block measures
-    # faster in-chain than a finer grid (less per-program scheduling)
+    # the PSD reads the channelizer's packed window buffer — the same
+    # two kernels KernelReceiver serves with (one upload per block)
     psd_cfg = PallasPSDConfig(fft_size=PSD_FFT,
                               frames_per_block=cfg.block_in // PSD_FFT,
-                              frames_per_program=cfg.block_in // PSD_FFT)
-    psd = PallasPSD(psd_cfg, cfg.sample_rate,
-                    WindowFunction.BLACKMANN_HARRIS, interpret=False)
-
-    # the 2-D-tiled kernel runs the whole 524288-sample block in ONE
-    # dispatch; unroll 2 amortizes the residual per-call cost (each
-    # unrolled instance compiles separately via the remote toolchain)
-    unroll = 2
+                              frames_per_program=8)
+    psd = PallasPSDFromXW(psd_cfg, m_rows=cfg.block_out,
+                          sample_rate=cfg.sample_rate, interpret=False)
     m_tiles = cfg.block_out // cfg.m_tile
 
-    def chain(xws, frs, phi0, prev_re, prev_im, ftail):
-        acc = None
-        psd_acc = None
-        for i in range(unroll):
-            audio, prev_re, prev_im, ftail = mc.feed_device(
-                xws[i], phi0, prev_re, prev_im, ftail)
-            p = psd._call(frs[i], frs[i], *psd._const)
-            acc = audio if acc is None else acc + audio
-            psd_acc = p if psd_acc is None else psd_acc + p
-        return acc, psd_acc, prev_re, prev_im, ftail
-
     rng = np.random.default_rng(0)
-    a, fb = psd_cfg.a, psd_cfg.frames_per_block
-    xws = jnp.asarray(rng.standard_normal(
-        (unroll, 2 * cfg.block_out, cfg.taps)).astype(np.float32))
-    frs = jnp.asarray(rng.standard_normal(
-        (unroll, 2 * a, fb * psd_cfg.b)).astype(np.float32))
+    iters = 20
+    xws = [jnp.asarray(rng.standard_normal(
+        (2 * cfg.block_out, cfg.taps)).astype(np.float32))
+        for _ in range(iters)]
     phi0 = jnp.zeros((m_tiles * 8, cfg.n_channels), jnp.float32)
     prev = jnp.zeros((1, cfg.n_channels), jnp.float32)
     ftail = jnp.zeros((cfg.audio_taps - 1, cfg.n_channels), jnp.float32)
 
-    cj = jax.jit(chain)
-    r = cj(xws, frs, phi0, prev, prev, ftail)
-    jax.block_until_ready(r)
+    r = mc.feed_device(xws[0], phi0, prev, prev, ftail)
+    p = psd._call(xws[0], xws[0], *psd._const)
+    jax.block_until_ready((r, p))
 
-    iters = 20
     t0 = time.perf_counter()
-    for _ in range(iters):
-        r = cj(xws, frs, phi0, r[2], r[3], r[4])
-    jax.block_until_ready(r)
-    dt = (time.perf_counter() - t0) / (iters * unroll)
+    outs = []
+    for xw in xws:
+        audio, pr, pi, ft = mc.feed_device(xw, phi0, r[1], r[2], r[3])
+        r = (audio, pr, pi, ft)
+        outs.append((audio, psd._call(xw, xw, *psd._const)))
+    jax.block_until_ready(outs)
+    dt = (time.perf_counter() - t0) / iters
 
     work = (roofline.channelizer2_work(cfg) + roofline.psd_work(psd_cfg))
     util = roofline.report(work, dt)

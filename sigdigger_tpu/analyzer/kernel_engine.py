@@ -48,6 +48,10 @@ from sigdigger_tpu.analyzer.messages import (
 )
 from sigdigger_tpu.config import INSPECTOR_SCHEMAS, Config
 from sigdigger_tpu.kernels.audio import AudioBank, AudioBankConfig
+from sigdigger_tpu.kernels.compact import (
+    ColumnCompactor,
+    ColumnCompactorConfig,
+)
 from sigdigger_tpu.kernels.fft import PallasPSD, PallasPSDConfig
 from sigdigger_tpu.kernels.rawbank import RawBank, RawBankConfig
 from sigdigger_tpu.kernels.recovery import (
@@ -177,6 +181,13 @@ class _Bucket:
         self.audio = audio
         self.rec = rec
         self.free = list(range(n_slots - 1, -1, -1))
+        # device-side active-column compaction (kernels/compact.py):
+        # built by the engine when n_slots > compact_cols; cmap maps
+        # slot idx -> compact column while the active set fits
+        self.comp_digital = None
+        self.comp_raw = None
+        self.comp_audio = None
+        self.cmap: dict[int, int] = {}
 
     @property
     def channel_rate(self) -> float:
@@ -203,7 +214,9 @@ class KernelAnalyzer(Analyzer):
                  block_size: int | None = None, n_slots: int = 128,
                  decimation: int = 64, audio_decim: int = 8,
                  decimations: tuple[int, ...] | None = None,
-                 interpret: bool | None = None, mesh=None) -> None:
+                 interpret: bool | None = None, mesh=None,
+                 compact_cols: int = 32) -> None:
+        self._compact_cols = int(compact_cols)
         self._n_slots = int(n_slots)
         self._decimation = int(decimation)
         self._audio_decim = int(audio_decim)
@@ -284,8 +297,27 @@ class KernelAnalyzer(Analyzer):
                 shard_audio_bank(audio, self._mesh)
                 shard_raw_bank(raw, self._mesh)
                 shard_recovery_bank(rec, self._mesh)
-            self._buckets[d] = _Bucket(d, raw, audio, rec,
-                                       self._n_slots)
+            bucket = _Bucket(d, raw, audio, rec, self._n_slots)
+            if (self._mesh is None and self._compact_cols > 0
+                    and self._n_slots > self._compact_cols):
+                w = self._compact_cols
+                bucket.comp_digital = ColumnCompactor(
+                    ColumnCompactorConfig(
+                        n_rows=block_out, n_channels=self._n_slots,
+                        width=w, n_planes=3, channel_tile=tile),
+                    interpret=self._interpret)
+                bucket.comp_raw = ColumnCompactor(
+                    ColumnCompactorConfig(
+                        n_rows=block_out, n_channels=self._n_slots,
+                        width=w, n_planes=2, channel_tile=tile),
+                    interpret=self._interpret)
+                bucket.comp_audio = ColumnCompactor(
+                    ColumnCompactorConfig(
+                        n_rows=block_out // self._audio_decim,
+                        n_channels=self._n_slots, width=w, n_planes=1,
+                        channel_tile=tile),
+                    interpret=self._interpret)
+            self._buckets[d] = bucket
 
         primary = self._buckets[self._decimation]
         self._audio_bank = primary.audio      # primary-bucket aliases
@@ -312,6 +344,23 @@ class KernelAnalyzer(Analyzer):
             if b.channel_rate >= bw * 1.25 and b.free:
                 return b
         return self._buckets[self._decimations[-1]]
+
+    def _refresh_compact(self, bucket: _Bucket) -> None:
+        """Rebuild the bucket's slot->compact-column mapping (constant
+        rewrite, no recompile).  When the active set outgrows the
+        compact width the drain falls back to full planes."""
+        if bucket.comp_digital is None:
+            return
+        active = sorted(ks.idx for ks in self._kslots.values()
+                        if ks.bucket is bucket)
+        w = bucket.comp_digital.cfg.width
+        if len(active) > w:
+            bucket.cmap = {}
+            return
+        bucket.cmap = {idx: i for i, idx in enumerate(active)}
+        for comp in (bucket.comp_digital, bucket.comp_raw,
+                     bucket.comp_audio):
+            comp.set_mapping(active)
 
     # ------------------------------------------------------------------
     # inspector lifecycle (same ack protocol as the base engine)
@@ -360,6 +409,7 @@ class KernelAnalyzer(Analyzer):
             self._by_id[handle] = handle
             self._kslots[handle] = ks
             self._apply_config(slot, ks, reset_state=True)
+            self._refresh_compact(bucket)
         self._emit(InspectorMessage(
             inspector_kind=InspectorMessageKind.OPEN,
             request_id=request_id, handle=handle, inspector_id=handle,
@@ -498,6 +548,7 @@ class KernelAnalyzer(Analyzer):
             ks.bucket.free.append(ks.idx)
             self._by_id.pop(slot.inspector_id, None)
             del self._inspectors[handle]
+            self._refresh_compact(ks.bucket)
         self._emit(InspectorMessage(
             inspector_kind=InspectorMessageKind.CLOSE,
             request_id=request_id, handle=handle,
@@ -529,22 +580,39 @@ class KernelAnalyzer(Analyzer):
             s.class_name in ("raw", "power") or s.estimators
             or s.spectrum_source for s in slots)
 
+        # device-side column compaction: only active-slot columns cross
+        # to the host (kernels/compact.py; VERDICT r2 'drain only
+        # active-slot columns').  cmap empty = fall back to full planes.
+        comp = bool(bucket.cmap) and all(
+            self._kslots[s.handle].idx in bucket.cmap for s in slots)
+
         frames = bucket.raw.frame(x)          # single shared framing
-        audio_out = (bucket.audio.feed_frames(*frames)
+        audio_out = (bucket.audio.feed_frames(*frames, fetch=not comp)
                      if any_audio else None)
         y_re = y_im = soft = strobe = None
         if need_host_raw or any_digital:
             y_re, y_im = bucket.raw.feed_frames(
-                *frames, fetch=need_host_raw)
+                *frames, fetch=need_host_raw and not comp)
         if any_digital:
-            soft, strobe = bucket.rec.feed_planes(y_re, y_im)
-        if not need_host_raw:
+            if comp:
+                d_sr, d_si, d_st = bucket.rec.feed_planes(
+                    y_re, y_im, fetch=False)
+                c_sr, c_si, c_st = bucket.comp_digital(d_sr, d_si, d_st)
+                soft = c_sr + 1j * c_si
+                strobe = c_st > 0.5
+            else:
+                soft, strobe = bucket.rec.feed_planes(y_re, y_im)
+        if comp and any_audio:
+            audio_out = bucket.comp_audio(audio_out)[0]
+        if need_host_raw and comp:
+            y_re, y_im = bucket.comp_raw(y_re, y_im)
+        elif not need_host_raw:
             y_re = y_im = None
 
         msgs = []
         for slot in slots:
             ks = self._kslots[slot.handle]
-            idx = ks.idx
+            idx = bucket.cmap[ks.idx] if comp else ks.idx
             c = ks.config
             raw_col = None
             if y_re is not None and (
@@ -557,13 +625,13 @@ class KernelAnalyzer(Analyzer):
                 aud = audio_out[:, idx]
                 if ks.resampler is not None:
                     aud = ks.resampler(aud)
-                extras = {"squelch_open":
-                          bool(bucket.audio.squelch_open()[idx])}
+                extras = {"squelch_open": bool(
+                    bucket.audio.squelch_open()[ks.idx])}
                 msgs.append((slot, aud, extras, raw_col))
             elif name == "raw":
                 if bool(c["agc.enabled"]):
                     g = 1.0 / np.sqrt(max(
-                        float(bucket.raw.block_power[idx]), 1e-9))
+                        float(bucket.raw.block_power[ks.idx]), 1e-9))
                 else:
                     g = float(c["agc.gain"])
                 msgs.append((slot, raw_col * np.float32(g), {}, raw_col))

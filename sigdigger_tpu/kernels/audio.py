@@ -627,8 +627,8 @@ class AudioBank:
         [audio_out, n_channels] float32 (all modes demodulated)."""
         return self.feed_frames(*self.frame(x))
 
-    def feed_frames(self, xw_re: np.ndarray, xw_im: np.ndarray
-                    ) -> np.ndarray:
+    def feed_frames(self, xw_re: np.ndarray, xw_im: np.ndarray,
+                    fetch: bool = True) -> np.ndarray:
         cfg = self.cfg
         mta = cfg.m_tile // cfg.audio_decim
         out = self._call(
@@ -662,7 +662,9 @@ class AudioBank:
             self._phi + self._theta64 * cfg.block_out, _TWO_PI)
         self._phs_a = np.mod(
             self._phs_a + self._omega_a64 * cfg.audio_out, _TWO_PI)
-        return np.asarray(audio)
+        # fetch=False keeps the [Ma, C] plane on device (the engine
+        # compacts active columns there before the D2H drain)
+        return np.asarray(audio) if fetch else audio
 
     def feed_device(self, xw_re, xw_im, phi0, phs0, prev_re, prev_im,
                     ftail1, ftail2, atail1, atail2, sq, dc):

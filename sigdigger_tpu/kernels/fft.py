@@ -62,8 +62,8 @@ class PallasPSDConfig:
         return self.fft_size * self.frames_per_block
 
 
-def _psd_kernel(x_re, x_im, da_re, da_im, tw_re, tw_im, db_re, db_im,
-                out_ref, *, a: int, b: int, fb: int, scale: float):
+def _psd_kernel(x_re, x_im, da_re, da_im, tw_re, tw_im, bd_re, bd_im,
+                fsum, out_ref, *, a: int, b: int, fb: int, scale: float):
     # stage 1: S1 = DFT_A × X  over [A, Fb·B]
     s1r = jnp.dot(da_re[:], x_re[:], preferred_element_type=jnp.float32) \
         - jnp.dot(da_im[:], x_im[:], preferred_element_type=jnp.float32)
@@ -72,16 +72,19 @@ def _psd_kernel(x_re, x_im, da_re, da_im, tw_re, tw_im, db_re, db_im,
     # stage 2: twiddle W_N^{k1 b} (tiled over frames on host)
     s2r = s1r * tw_re[:] - s1i * tw_im[:]
     s2i = s1r * tw_im[:] + s1i * tw_re[:]
-    # stage 3: per-frame [A, B] × DFT_B, accumulate |X|²
-    acc = jnp.zeros((a, b), jnp.float32)
-    for fi in range(fb):                      # static unroll
-        fr = s2r[:, fi * b:(fi + 1) * b]
-        fim = s2i[:, fi * b:(fi + 1) * b]
-        s3r = jnp.dot(fr, db_re[:], preferred_element_type=jnp.float32) \
-            - jnp.dot(fim, db_im[:], preferred_element_type=jnp.float32)
-        s3i = jnp.dot(fr, db_im[:], preferred_element_type=jnp.float32) \
-            + jnp.dot(fim, db_re[:], preferred_element_type=jnp.float32)
-        acc = acc + (s3r * s3r + s3i * s3i)
+    # stage 3: ONE matmul with the BLOCK-DIAGONAL DFT_B [Fb·B, Fb·B]
+    # instead of Fb serialized [A, B] × [B, B] matmuls (the tiny-matmul
+    # accumulate chain measured 0.95 ms/block on the real chip — 20x
+    # the rest of the kernel; Mosaic also rejects re-stacking the frame
+    # columns into rows, so the per-frame structure rides the block
+    # diagonal: ~8x more MACs, all at full MXU rate)
+    s3r = jnp.dot(s2r, bd_re[:], preferred_element_type=jnp.float32) \
+        - jnp.dot(s2i, bd_im[:], preferred_element_type=jnp.float32)
+    s3i = jnp.dot(s2r, bd_im[:], preferred_element_type=jnp.float32) \
+        + jnp.dot(s2i, bd_re[:], preferred_element_type=jnp.float32)
+    p = s3r * s3r + s3i * s3i
+    # fsum[f·B + k2, k2] = 1: folds |X|² over the frame column blocks
+    acc = jnp.dot(p, fsum[:], preferred_element_type=jnp.float32)
     prog = pl.program_id(0)
 
     @pl.when(prog == 0)
@@ -113,6 +116,15 @@ class PallasPSD:
             interpret = jax.default_backend() not in ("tpu", "axon")
         a, b, n = cfg.a, cfg.b, cfg.fft_size
         fb = cfg.frames_per_program
+        if fb * b > 1024:
+            # cap the frame batch so the [Fb·B, Fb·B] block-diagonal
+            # DFT_B stays VMEM-sized
+            fb = max(d for d in range(1, 1024 // b + 1)
+                     if cfg.frames_per_block % d == 0)
+            cfg = PallasPSDConfig(fft_size=cfg.fft_size,
+                                  frames_per_block=cfg.frames_per_block,
+                                  a=cfg.a, frames_per_program=fb)
+            self.cfg = cfg
         self._taps = window_taps(window, n).astype(np.float64)
         wsum2 = float(np.sum(self._taps ** 2))
         scale = 1.0 / (self.sample_rate * wsum2 * fb *
@@ -124,9 +136,18 @@ class PallasPSD:
         ang = -2.0 * np.pi * k1 * bb / n
         tw_re = np.tile(np.cos(ang).astype(np.float32), (1, fb))
         tw_im = np.tile(np.sin(ang).astype(np.float32), (1, fb))
+        bd_re = np.zeros((fb * b, fb * b), np.float32)
+        bd_im = np.zeros((fb * b, fb * b), np.float32)
+        for fi in range(fb):
+            bd_re[fi * b:(fi + 1) * b, fi * b:(fi + 1) * b] = db_re
+            bd_im[fi * b:(fi + 1) * b, fi * b:(fi + 1) * b] = db_im
+        fsum = np.zeros((fb * b, b), np.float32)
+        for fi in range(fb):
+            fsum[fi * b + np.arange(b), np.arange(b)] = 1.0
         self._const = (jnp.asarray(da_re), jnp.asarray(da_im),
                        jnp.asarray(tw_re), jnp.asarray(tw_im),
-                       jnp.asarray(db_re), jnp.asarray(db_im))
+                       jnp.asarray(bd_re), jnp.asarray(bd_im),
+                       jnp.asarray(fsum))
         self._scale = scale
         self.interpret = interpret
         self._call = self._build(cfg, scale)
@@ -157,10 +178,12 @@ class PallasPSD:
                              memory_space=pltpu.VMEM),   # tw_re
                 pl.BlockSpec((a, fb * b), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),   # tw_im
-                pl.BlockSpec((b, b), lambda i: (0, 0),
+                pl.BlockSpec((fb * b, fb * b), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),   # block-diag DB
+                pl.BlockSpec((fb * b, fb * b), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((b, b), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((fb * b, b), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),   # fsum
             ],
             out_specs=pl.BlockSpec((a, b), lambda i: (0, 0),
                                    memory_space=pltpu.VMEM),
@@ -219,35 +242,40 @@ class PallasPSD:
 
 
 def _psd_kernel_xw(x_re, x_im, w2d, da_re, da_im, tw_re, tw_im, db_re,
-                   db_im, out_ref, *, a: int, b: int, fb: int,
+                   db_im, fsum, out_ref, *, a: int, b: int, fb: int,
                    scale: float):
     """Bailey PSD reading frames straight from the channelizer's packed
     [2M, K] window buffer: with K == B, frame f's [A, B] Bailey matrix
     x[a·B + b] is rows [f·A, (f+1)·A) verbatim — no separate PSD
     framing or upload.  Window taps are applied in-kernel (w2d is
-    taps[a·B+b] as [A, B])."""
-    acc = jnp.zeros((a, b), jnp.float32)
-    for fi in range(fb):                      # static unroll
-        xr = x_re[fi * a:(fi + 1) * a, :]
-        xi = x_im[fi * a:(fi + 1) * a, :]
-        if xr.dtype != jnp.float32:
-            # int16-packed channelizer upload: dequantization scale is
-            # folded into w2d by the host
-            xr = xr.astype(jnp.float32)
-            xi = xi.astype(jnp.float32)
-        xr = xr * w2d[:]
-        xi = xi * w2d[:]
-        s1r = jnp.dot(da_re[:], xr, preferred_element_type=jnp.float32) \
-            - jnp.dot(da_im[:], xi, preferred_element_type=jnp.float32)
-        s1i = jnp.dot(da_re[:], xi, preferred_element_type=jnp.float32) \
-            + jnp.dot(da_im[:], xr, preferred_element_type=jnp.float32)
-        s2r = s1r * tw_re[:] - s1i * tw_im[:]
-        s2i = s1r * tw_im[:] + s1i * tw_re[:]
-        s3r = jnp.dot(s2r, db_re[:], preferred_element_type=jnp.float32) \
-            - jnp.dot(s2i, db_im[:], preferred_element_type=jnp.float32)
-        s3i = jnp.dot(s2r, db_im[:], preferred_element_type=jnp.float32) \
-            + jnp.dot(s2i, db_re[:], preferred_element_type=jnp.float32)
-        acc = acc + (s3r * s3r + s3i * s3i)
+    taps[a·B+b] tiled to [Fb·A, B]).
+
+    The frames stay stacked as row blocks end to end — no per-frame
+    loop (the serialized tiny-matmul chain measured ~1 ms/block on the
+    real chip): stage 1 is ONE matmul with the block-diagonal DFT_A
+    (da_* here is [Fb·A, Fb·A]), stage 3 is one [Fb·A, B] × DFT_B, and
+    the |X|² frame fold is the 0/1 summing matmul ``fsum``."""
+    xr = x_re[:]
+    xi = x_im[:]
+    if xr.dtype != jnp.float32:
+        # int16-packed channelizer upload: dequantization scale is
+        # folded into w2d by the host
+        xr = xr.astype(jnp.float32)
+        xi = xi.astype(jnp.float32)
+    xr = xr * w2d[:]
+    xi = xi * w2d[:]
+    s1r = jnp.dot(da_re[:], xr, preferred_element_type=jnp.float32) \
+        - jnp.dot(da_im[:], xi, preferred_element_type=jnp.float32)
+    s1i = jnp.dot(da_re[:], xi, preferred_element_type=jnp.float32) \
+        + jnp.dot(da_im[:], xr, preferred_element_type=jnp.float32)
+    s2r = s1r * tw_re[:] - s1i * tw_im[:]
+    s2i = s1r * tw_im[:] + s1i * tw_re[:]
+    s3r = jnp.dot(s2r, db_re[:], preferred_element_type=jnp.float32) \
+        - jnp.dot(s2i, db_im[:], preferred_element_type=jnp.float32)
+    s3i = jnp.dot(s2r, db_im[:], preferred_element_type=jnp.float32) \
+        + jnp.dot(s2i, db_re[:], preferred_element_type=jnp.float32)
+    p = s3r * s3r + s3i * s3i
+    acc = jnp.dot(fsum[:], p, preferred_element_type=jnp.float32)
     prog = pl.program_id(0)
 
     @pl.when(prog == 0)
@@ -286,21 +314,41 @@ class PallasPSDFromXW(PallasPSD):
             "xw rows x taps must equal the PSD block"
         if interpret is None:
             interpret = jax.default_backend() not in ("tpu", "axon")
-        # drop the tiled twiddle (it repeats per frame here)
+        # cap the per-program frame batch so the [Fb·A, Fb·A]
+        # block-diagonal DFT_A stays VMEM-sized (8·64 → 1 MB/plane)
+        if fb > 8:
+            fb = max(d for d in range(1, 9)
+                     if cfg.frames_per_block % d == 0)
+            cfg = PallasPSDConfig(
+                fft_size=cfg.fft_size,
+                frames_per_block=cfg.frames_per_block, a=cfg.a,
+                frames_per_program=fb)
+            self.cfg = cfg
+            self.alpha_block = 1.0 - (1.0 - alpha) ** fb
         da_re, da_im = _dft_matrix(a)
+        bd_re = np.zeros((fb * a, fb * a), np.float32)
+        bd_im = np.zeros((fb * a, fb * a), np.float32)
+        for fi in range(fb):
+            bd_re[fi * a:(fi + 1) * a, fi * a:(fi + 1) * a] = da_re
+            bd_im[fi * a:(fi + 1) * a, fi * a:(fi + 1) * a] = da_im
         db_re, db_im = _dft_matrix(b)
         k1 = np.arange(a)[:, None]
         bb = np.arange(b)[None, :]
         ang = -2.0 * np.pi * k1 * bb / cfg.fft_size
+        tw_re = np.tile(np.cos(ang).astype(np.float32), (fb, 1))
+        tw_im = np.tile(np.sin(ang).astype(np.float32), (fb, 1))
+        fsum = np.zeros((a, fb * a), np.float32)
+        for fi in range(fb):
+            fsum[np.arange(a), fi * a + np.arange(a)] = 1.0
         # in_scale: dequantization gain of an int16-packed upload,
         # folded into the window constant
-        w2d = (self._taps.astype(np.float32).reshape(a, b)
-               * np.float32(in_scale))
+        w2d = np.tile(self._taps.astype(np.float32).reshape(a, b)
+                      * np.float32(in_scale), (fb, 1))
         self._const = (jnp.asarray(w2d),
-                       jnp.asarray(da_re), jnp.asarray(da_im),
-                       jnp.asarray(np.cos(ang).astype(np.float32)),
-                       jnp.asarray(np.sin(ang).astype(np.float32)),
-                       jnp.asarray(db_re), jnp.asarray(db_im))
+                       jnp.asarray(bd_re), jnp.asarray(bd_im),
+                       jnp.asarray(tw_re), jnp.asarray(tw_im),
+                       jnp.asarray(db_re), jnp.asarray(db_im),
+                       jnp.asarray(fsum))
         wsum2 = float(np.sum(self._taps ** 2))
         scale = 1.0 / (self.sample_rate * wsum2 * cfg.frames_per_block)
         n_prog = cfg.frames_per_block // fb
@@ -313,20 +361,22 @@ class PallasPSDFromXW(PallasPSD):
                 pl.BlockSpec((fb * a, b),
                              lambda i, _o=im_off: (_o + i, 0),
                              memory_space=pltpu.VMEM),   # xw packed im
-                pl.BlockSpec((a, b), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),   # w2d
-                pl.BlockSpec((a, a), lambda i: (0, 0),
+                pl.BlockSpec((fb * a, b), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),   # w2d (tiled)
+                pl.BlockSpec((fb * a, fb * a), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),   # block-diag DA
+                pl.BlockSpec((fb * a, fb * a), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((a, a), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((a, b), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),   # tw_re
-                pl.BlockSpec((a, b), lambda i: (0, 0),
+                pl.BlockSpec((fb * a, b), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),   # tw_re (tiled)
+                pl.BlockSpec((fb * a, b), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),   # tw_im
                 pl.BlockSpec((b, b), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((b, b), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
+                pl.BlockSpec((a, fb * a), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),   # fsum
             ],
             out_specs=pl.BlockSpec((a, b), lambda i: (0, 0),
                                    memory_space=pltpu.VMEM),

@@ -522,10 +522,14 @@ class RecoveryBank:
         )
         return jax.jit(call) if jit else call
 
-    def feed_planes(self, y_re: np.ndarray, y_im: np.ndarray):
+    def feed_planes(self, y_re: np.ndarray, y_im: np.ndarray,
+                    fetch: bool = True):
         """[M, C] float32 channel-baseband planes (RawBank layout,
         host OR device-resident) → (soft complex [M, C], strobe bool
-        [M, C]).  Loop state stays on device between blocks."""
+        [M, C]).  Loop state stays on device between blocks.
+        ``fetch=False`` returns the DEVICE (sym_re, sym_im, strobe)
+        planes instead (the engine compacts active columns on device
+        before the D2H drain)."""
         c = self.consts
         sr, si, strobe, self.state = self._call(
             y_re, y_im, self.state, c["w_psk"], c["w_fsk"], c["w_ask"],
@@ -534,6 +538,8 @@ class RecoveryBank:
             c["fsk_cos"], c["fsk_sin"], c["w_quad"], c["w_coh"],
             c["w_run"], c["eq_en"], c["eq_rate"], c["mf"],
         )
+        if not fetch:
+            return sr, si, strobe
         return (np.asarray(sr) + 1j * np.asarray(si),
                 np.asarray(strobe) > 0.5)
 

@@ -149,7 +149,7 @@ def shard_psd(psd, mesh: Mesh, axis: str = "ch"):
         return jax.lax.psum(local_call(x_re, x_im, *consts), axis)
 
     cols = P(None, axis)            # packed [2A, F·B]: frames on cols
-    in_specs = (cols, cols) + (P(),) * 6
+    in_specs = (cols, cols) + (P(),) * 7
     psd._call = jax.jit(jax.shard_map(step, mesh=mesh,
                                       in_specs=in_specs, out_specs=P(),
                                       check_vma=False))

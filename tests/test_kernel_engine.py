@@ -274,3 +274,67 @@ def test_bucketed_decimation_different_equiv_rates():
     a = np.concatenate(aud)
     assert tone_snr(a, fa, FS / 32, skip=1024) > 20.0
     assert nsym > 50
+
+
+def test_compact_drain_equals_full_drain():
+    """Device-side active-column compaction (kernels/compact.py) must
+    be drain-invariant: the same session with compact_cols small enough
+    to engage (n_slots > W >= active) produces byte-equal SAMPLES
+    payloads vs the full-plane drain."""
+    def run(compact_cols):
+        an = make_engine(
+            [Emitter(freq=60e3, amplitude=1.0, fm_rate=300.0,
+                     fm_dev=2000.0),
+             Emitter(freq=-50e3, amplitude=1.0, kind="psk", order=4,
+                     baud=2000.0, seed=9)],
+            n_slots=128, compact_cols=compact_cols)
+        h_a = an.open_inspector(
+            "audio", Channel(fc=60e3, bw=12e3),
+            config={"audio.demodulator": 2, "audio.volume": 1.0,
+                    "audio.sample-rate": an.audio_rate})
+        h_p = an.open_inspector(
+            "psk", Channel(fc=-50e3, bw=6e3),
+            config={"afc.bits-per-symbol": 2, "clock.baud": 2000.0})
+        h_w = an.open_inspector("power", Channel(fc=60e3, bw=12e3))
+        an.poll()
+        out = {h_a: [], h_p: [], h_w: []}
+        strobes = []
+        for _ in range(4):
+            assert an.step()
+            for m in an.poll():
+                if m.kind == MessageKind.SAMPLES:
+                    out[m.handle].append(np.asarray(m.samples))
+                    if m.handle == h_p:
+                        strobes.append(np.asarray(m.extras["strobes"]))
+        return ([np.concatenate(v) for v in out.values()],
+                np.concatenate(strobes))
+
+    full, st_full = run(compact_cols=0)
+    comp, st_comp = run(compact_cols=8)
+    for a, b in zip(full, comp):
+        np.testing.assert_allclose(a, b, rtol=0, atol=1e-5)
+    np.testing.assert_array_equal(st_full, st_comp)
+
+
+def test_compact_fallback_when_active_exceeds_width():
+    """More active slots than compact columns → full-plane fallback
+    (still correct, just wider drains)."""
+    an = make_engine(
+        [Emitter(freq=60e3, amplitude=1.0, fm_rate=300.0,
+                 fm_dev=2000.0)],
+        n_slots=128, compact_cols=2)
+    hs = [an.open_inspector(
+        "audio", Channel(fc=50e3 + 4e3 * i, bw=8e3),
+        config={"audio.demodulator": 2, "audio.volume": 1.0,
+                "audio.sample-rate": an.audio_rate}) for i in range(3)]
+    an.poll()
+    assert not an._buckets[16].cmap          # fallback engaged
+    assert an.step()
+    got = {m.handle for m in an.poll()
+           if m.kind == MessageKind.SAMPLES}
+    assert set(hs) <= got
+    for m_h in hs[1:]:
+        an.close_inspector(m_h)
+    an.poll()
+    assert an._buckets[16].cmap              # active set fits again
+    assert an.step()
