@@ -121,7 +121,7 @@ def bench_engine(iters: int = 10) -> tuple[float, dict]:
     params.window_size = PSD_FFT
     an = KernelAnalyzer(source=src, params=params, block_size=block,
                         n_slots=128, decimation=64, audio_decim=8,
-                        interpret=False)
+                        interpret=False, pipeline_depth=2)
     for i in range(8):
         an.open_inspector(
             "audio", Channel(fc=-40e6 + i * 3e6, bw=200e3),
@@ -185,7 +185,7 @@ def bench_kernel() -> tuple[float, dict]:
     m_tiles = cfg.block_out // cfg.m_tile
 
     rng = np.random.default_rng(0)
-    iters = 20
+    iters = 100                   # long enough to amortize queue fill
     xws = [jnp.asarray(rng.standard_normal(
         (2 * cfg.block_out, cfg.taps)).astype(np.float32))
         for _ in range(iters)]

@@ -215,8 +215,14 @@ class KernelAnalyzer(Analyzer):
                  decimation: int = 64, audio_decim: int = 8,
                  decimations: tuple[int, ...] | None = None,
                  interpret: bool | None = None, mesh=None,
-                 compact_cols: int = 32) -> None:
+                 compact_cols: int = 32,
+                 pipeline_depth: int = 1) -> None:
         self._compact_cols = int(compact_cols)
+        # depth >1 overlaps the next block's framing/upload with the
+        # previous block's device compute + D2H drain (messages lag
+        # depth-1 blocks; flushed at EOS)
+        self._pipeline_depth = max(1, int(pipeline_depth))
+        self._inflight: list = []
         self._n_slots = int(n_slots)
         self._decimation = int(decimation)
         self._audio_decim = int(audio_decim)
@@ -559,18 +565,55 @@ class KernelAnalyzer(Analyzer):
     # block compute on the kernel banks
     # ------------------------------------------------------------------
     def _compute_block(self, x: np.ndarray) -> list:
-        msgs = []
+        """Depth-``pipeline_depth`` block pipeline: dispatch block n,
+        drain block n-(depth-1) — host framing/upload of the next block
+        overlaps the device compute and D2H drain of the previous one
+        (the receiver's feed_async/drain discipline, KernelReceiver.run).
+        Messages lag (depth-1) blocks; ``_flush_pipeline`` drains the
+        tail at EOS."""
         by_bucket: dict[int, list] = {}
         for slot in self._inspectors.values():
             ks = self._kslots[slot.handle]
             by_bucket.setdefault(ks.bucket.decimation, []).append(slot)
-        for d, slots in by_bucket.items():
-            msgs.extend(self._compute_bucket(self._buckets[d], slots,
-                                             x))
-        return msgs
+        handles = [self._dispatch_bucket(self._buckets[d], slots, x)
+                   for d, slots in by_bucket.items()]
+        self._inflight.append(handles)
+        if len(self._inflight) < self._pipeline_depth:
+            return []
+        return [m for hs in self._inflight.pop(0)
+                for m in self._drain_bucket(hs)]
 
-    def _compute_bucket(self, bucket: _Bucket, slots: list,
-                        x: np.ndarray) -> list:
+    def _flush_pipeline(self) -> list:
+        out = []
+        while self._inflight:
+            out.extend(m for hs in self._inflight.pop(0)
+                       for m in self._drain_bucket(hs))
+        return out
+
+    def step(self) -> bool:
+        ok = super().step()
+        if not ok and self._inflight:
+            # EOS with blocks still in flight: drain and emit the tail
+            import time as _time
+
+            from sigdigger_tpu.analyzer.messages import SamplesMessage
+
+            now = _time.time()
+            for slot, samples, extras, raw in self._flush_pipeline():
+                self._emit(SamplesMessage(
+                    inspector_id=slot.inspector_id, handle=slot.handle,
+                    samples=samples, extras=extras, timestamp=now))
+                if slot.estimators:
+                    self._emit_estimators(slot, raw)
+                if slot.spectrum_source:
+                    self._emit_inspector_spectrum(slot, raw)
+        return ok
+
+    def _dispatch_bucket(self, bucket: _Bucket, slots: list,
+                         x: np.ndarray) -> dict:
+        """Frame + dispatch every bank this bucket's slots need;
+        returns a handle of DEVICE arrays (plus the mapping snapshot)
+        for :meth:`_drain_bucket`."""
         any_audio = any(s.class_name == "audio" for s in slots)
         any_digital = any(s.class_name in _DIGITAL for s in slots)
         # the [M, C] raw planes only cross to the host when a slot
@@ -586,33 +629,62 @@ class KernelAnalyzer(Analyzer):
         comp = bool(bucket.cmap) and all(
             self._kslots[s.handle].idx in bucket.cmap for s in slots)
 
+        h: dict = {"bucket": bucket, "slots": slots, "comp": comp,
+                   "cmap": dict(bucket.cmap),
+                   "need_host_raw": need_host_raw}
         frames = bucket.raw.frame(x)          # single shared framing
-        audio_out = (bucket.audio.feed_frames(*frames, fetch=not comp)
-                     if any_audio else None)
-        y_re = y_im = soft = strobe = None
+        if any_audio:
+            audio = bucket.audio.feed_frames(*frames, fetch=False)
+            h["audio"] = (bucket.comp_audio.dispatch(audio) if comp
+                          else audio)
+            h["sq"] = bucket.audio._sq        # this block's squelch rows
+            h["sq_level"] = bucket.audio._sq_level.copy()
+            h["squelch"] = bucket.audio._squelch.copy()
+        y_re = y_im = None
         if need_host_raw or any_digital:
-            y_re, y_im = bucket.raw.feed_frames(
-                *frames, fetch=need_host_raw and not comp)
+            y_re, y_im = bucket.raw.feed_frames(*frames, fetch=False)
+            h["power"] = bucket.raw._power_dev
         if any_digital:
+            d_sr, d_si, d_st = bucket.rec.feed_planes(
+                y_re, y_im, fetch=False)
+            h["dig"] = (bucket.comp_digital.dispatch(d_sr, d_si, d_st)
+                        if comp else (d_sr, d_si, d_st))
+        if need_host_raw:
+            h["raw"] = (bucket.comp_raw.dispatch(y_re, y_im) if comp
+                        else (y_re, y_im))
+        return h
+
+    def _drain_bucket(self, h: dict) -> list:
+        bucket: _Bucket = h["bucket"]
+        slots = h["slots"]
+        comp = h["comp"]
+        cmap = h["cmap"]
+        audio_out = soft = strobe = y_re = y_im = None
+        if "audio" in h:
             if comp:
-                d_sr, d_si, d_st = bucket.rec.feed_planes(
-                    y_re, y_im, fetch=False)
-                c_sr, c_si, c_st = bucket.comp_digital(d_sr, d_si, d_st)
-                soft = c_sr + 1j * c_si
-                strobe = c_st > 0.5
+                audio_out = bucket.comp_audio.fetch(h["audio"])[0]
             else:
-                soft, strobe = bucket.rec.feed_planes(y_re, y_im)
-        if comp and any_audio:
-            audio_out = bucket.comp_audio(audio_out)[0]
-        if need_host_raw and comp:
-            y_re, y_im = bucket.comp_raw(y_re, y_im)
-        elif not need_host_raw:
-            y_re = y_im = None
+                audio_out = np.asarray(h["audio"])
+            sq = np.asarray(h["sq"])[0]
+            squelch_open = (~h["squelch"]) | (sq >= h["sq_level"])
+        if "dig" in h:
+            if comp:
+                c_sr, c_si, c_st = bucket.comp_digital.fetch(h["dig"])
+            else:
+                c_sr, c_si, c_st = (np.asarray(a) for a in h["dig"])
+            soft = c_sr + 1j * c_si
+            strobe = c_st > 0.5
+        if "raw" in h:
+            if comp:
+                y_re, y_im = bucket.comp_raw.fetch(h["raw"])
+            else:
+                y_re, y_im = (np.asarray(a) for a in h["raw"])
+        power = (np.asarray(h["power"])[0] if "power" in h else None)
 
         msgs = []
         for slot in slots:
             ks = self._kslots[slot.handle]
-            idx = bucket.cmap[ks.idx] if comp else ks.idx
+            idx = cmap[ks.idx] if comp else ks.idx
             c = ks.config
             raw_col = None
             if y_re is not None and (
@@ -625,13 +697,11 @@ class KernelAnalyzer(Analyzer):
                 aud = audio_out[:, idx]
                 if ks.resampler is not None:
                     aud = ks.resampler(aud)
-                extras = {"squelch_open": bool(
-                    bucket.audio.squelch_open()[ks.idx])}
+                extras = {"squelch_open": bool(squelch_open[ks.idx])}
                 msgs.append((slot, aud, extras, raw_col))
             elif name == "raw":
                 if bool(c["agc.enabled"]):
-                    g = 1.0 / np.sqrt(max(
-                        float(bucket.raw.block_power[ks.idx]), 1e-9))
+                    g = 1.0 / np.sqrt(max(float(power[ks.idx]), 1e-9))
                 else:
                     g = float(c["agc.gain"])
                 msgs.append((slot, raw_col * np.float32(g), {}, raw_col))

@@ -175,14 +175,21 @@ def _audio_kernel(xw_re, xw_im, h_re, h_im, theta, m_ramp, ia_ramp, phi0,
                   sq_out_ref, dc_out_ref, pow_out_ref,
                   scr_prev, scr_f1, scr_f2, scr_a1, scr_a2, scr_st,
                   *, mt: int, ka: int, ka2: int, mta: int, m_tiles: int,
-                  quad_gain: float, sq_alpha: float, ssb: bool):
+                  quad_gain: float, sq_alpha: float, ssb: bool,
+                  in_gain: float = 1.0):
     mi = pl.program_id(1)
 
+    xr = xw_re[:]
+    xi = xw_im[:]
+    if xr.dtype != jnp.float32:
+        # int16 packed upload: dequantize in VMEM
+        xr = xr.astype(jnp.float32) * jnp.float32(in_gain)
+        xi = xi.astype(jnp.float32) * jnp.float32(in_gain)
     # 1. channelize (complex matmul on the MXU)
-    yr = jnp.dot(xw_re[:], h_re[:], preferred_element_type=jnp.float32) \
-        - jnp.dot(xw_im[:], h_im[:], preferred_element_type=jnp.float32)
-    yi = jnp.dot(xw_re[:], h_im[:], preferred_element_type=jnp.float32) \
-        + jnp.dot(xw_im[:], h_re[:], preferred_element_type=jnp.float32)
+    yr = jnp.dot(xr, h_re[:], preferred_element_type=jnp.float32) \
+        - jnp.dot(xi, h_im[:], preferred_element_type=jnp.float32)
+    yi = jnp.dot(xr, h_im[:], preferred_element_type=jnp.float32) \
+        + jnp.dot(xi, h_re[:], preferred_element_type=jnp.float32)
 
     # 2. residual rotation (phi0 row 0 of this time tile's 8-row padded
     # block carries the f64-computed start phase)
@@ -355,7 +362,8 @@ class AudioBank:
         self._dc = np.zeros((1, c), np.float32)
         self._phi = np.zeros(c, np.float64)
         self._phs_a = np.zeros(c, np.float64)
-        self.block_power = np.zeros(c, np.float32)
+        self._power_host = np.zeros(c, np.float32)
+        self._power_dev = None
 
         self._call = self._build()
 
@@ -491,7 +499,7 @@ class AudioBank:
 
     # ------------------------------------------------------------------
     def _build(self, cfg: AudioBankConfig | None = None,
-               jit: bool = True):
+               jit: bool = True, packed: bool = False):
         cfg = cfg or self.cfg
         ct, mt, ka, k = (cfg.channel_tile, cfg.m_tile, cfg.audio_taps,
                          cfg.taps)
@@ -510,8 +518,13 @@ class AudioBank:
             in_specs=[
                 pl.BlockSpec((mt, k), lambda ci, mi: (mi, 0),
                              memory_space=pltpu.VMEM),      # xw_re
-                pl.BlockSpec((mt, k), lambda ci, mi: (mi, 0),
-                             memory_space=pltpu.VMEM),      # xw_im
+                # packed: the im plane is rows [M, 2M) of the SAME
+                # buffer — one H2D transfer, optionally int16
+                (pl.BlockSpec((mt, k),
+                              lambda ci, mi, _mt=m_tiles: (_mt + mi, 0),
+                              memory_space=pltpu.VMEM) if packed else
+                 pl.BlockSpec((mt, k), lambda ci, mi: (mi, 0),
+                              memory_space=pltpu.VMEM)),    # xw_im
                 pl.BlockSpec((k, ct), lambda ci, mi: (0, ci),
                              memory_space=pltpu.VMEM),      # h_re
                 pl.BlockSpec((k, ct), lambda ci, mi: (0, ci),
@@ -578,7 +591,8 @@ class AudioBank:
         call = pl.pallas_call(
             partial(_audio_kernel, mt=mt, ka=ka, ka2=ka2, mta=mta,
                     m_tiles=m_tiles, quad_gain=cfg.quad_gain,
-                    sq_alpha=cfg.sq_alpha, ssb=cfg.enable_ssb),
+                    sq_alpha=cfg.sq_alpha, ssb=cfg.enable_ssb,
+                    in_gain=1.0 / 4096.0),
             grid_spec=grid_spec,
             out_shape=[
                 jax.ShapeDtypeStruct((cfg.audio_out, c), jnp.float32),
@@ -627,11 +641,24 @@ class AudioBank:
         [audio_out, n_channels] float32 (all modes demodulated)."""
         return self.feed_frames(*self.frame(x))
 
+    def feed_packed(self, xw, fetch: bool = True) -> np.ndarray:
+        """Like :meth:`feed_frames` on a packed [2M, K] (f32 or i16)
+        buffer — upload once, alias twice."""
+        import jax as _jax
+
+        if getattr(self, "_call_packed", None) is None:
+            self._call_packed = self._build(packed=True)
+        xw = _jax.device_put(xw)
+        return self._feed_call(self._call_packed, xw, xw, fetch)
+
     def feed_frames(self, xw_re: np.ndarray, xw_im: np.ndarray,
                     fetch: bool = True) -> np.ndarray:
+        return self._feed_call(self._call, xw_re, xw_im, fetch)
+
+    def _feed_call(self, call, xw_re, xw_im, fetch: bool) -> np.ndarray:
         cfg = self.cfg
         mta = cfg.m_tile // cfg.audio_decim
-        out = self._call(
+        out = call(
             xw_re, xw_im, self.consts["h_re"], self.consts["h_im"],
             self.consts["theta"], self._m_ramp, self._ia_ramp,
             self._phase_tiles(self._phi, self._theta64, cfg.m_tile),
@@ -656,8 +683,10 @@ class AudioBank:
         self._atail1 = atail1
         self._atail2 = atail2
         self._sq = sq
+        self._sq_host = None          # lazy: one fetch per block, cached
         self._dc = dc
-        self.block_power = np.asarray(power)[0]
+        self._power_dev = power       # lazy fetch (tunnel RTT per fetch)
+        self._power_host = None
         self._phi = np.mod(
             self._phi + self._theta64 * cfg.block_out, _TWO_PI)
         self._phs_a = np.mod(
@@ -682,9 +711,17 @@ class AudioBank:
         )
 
     def squelch_open(self) -> np.ndarray:
-        """Per-channel squelch state after the last block."""
-        sq = np.asarray(self._sq)
-        return (~self._squelch) | (sq[0] >= self._sq_level)
+        """Per-channel squelch state after the last block (fetched
+        once per block, cached — callers hit this per audio slot)."""
+        if getattr(self, "_sq_host", None) is None:
+            self._sq_host = np.asarray(self._sq)
+        return (~self._squelch) | (self._sq_host[0] >= self._sq_level)
+
+    @property
+    def block_power(self) -> np.ndarray:
+        if self._power_host is None:
+            self._power_host = np.asarray(self._power_dev)[0]
+        return self._power_host
 
     def flops_per_block(self) -> float:
         """Real FLOPs of one dispatch (matmul terms only; VPU demod

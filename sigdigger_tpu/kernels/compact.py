@@ -12,8 +12,9 @@ the active columns on device with a one-hot selection MATMUL:
 ``S`` is a device-resident constant rewritten on open/close — slot
 lifecycle stays recompile-free (the same discipline as the banks'
 per-channel columns).  Several planes sharing the same shape compact in
-ONE dispatch (soft re/im + strobe, or y re/im), so the per-dispatch
-tunnel cost is paid once.
+ONE dispatch AND one output array (plane-interleaved rows), so both the
+per-dispatch tunnel cost and the per-fetch RTT (~15 ms on the axon
+tunnel) are paid once per bank drain instead of once per plane.
 
 A gather is the natural op, but the axon toolchain has no gather — and
 the one-hot matmul rides the MXU at trivial cost ([8192,128]x[128,32]
@@ -52,15 +53,15 @@ class ColumnCompactorConfig:
         assert self.n_rows % self.m_tile == 0
 
 
-def _compact_kernel(*refs, n_planes: int, c_tiles: int):
-    # refs = x_1..x_n, s, out_1..out_n, scr_1..scr_n
+def _compact_kernel(*refs, n_planes: int, c_tiles: int, mt: int):
+    # refs = x_1..x_n, s, out, scr_1..scr_n
     xs = refs[:n_planes]
     s = refs[n_planes]
-    outs = refs[n_planes + 1:2 * n_planes + 1]
-    scrs = refs[2 * n_planes + 1:]
+    out = refs[n_planes + 1]
+    scrs = refs[n_planes + 2:]
     ci = pl.program_id(1)
 
-    for x, out, scr in zip(xs, outs, scrs):
+    for p, (x, scr) in enumerate(zip(xs, scrs)):
         acc = jnp.dot(x[:], s[:], preferred_element_type=jnp.float32)
         if c_tiles > 1:
             @pl.when(ci == 0)
@@ -72,10 +73,10 @@ def _compact_kernel(*refs, n_planes: int, c_tiles: int):
                 scr[:] = scr[:] + acc
 
             @pl.when(ci == c_tiles - 1)
-            def _(out=out, scr=scr):
-                out[:] = scr[:]
+            def _(p=p, scr=scr):
+                out[p * mt:(p + 1) * mt, :] = scr[:]
         else:
-            out[:] = acc
+            out[p * mt:(p + 1) * mt, :] = acc
 
 
 class ColumnCompactor:
@@ -108,29 +109,46 @@ class ColumnCompactor:
         n = cfg.n_planes
         plane = pl.BlockSpec((mt, ct), lambda mi, ci: (mi, ci),
                              memory_space=pltpu.VMEM)
-        out = pl.BlockSpec((mt, w), lambda mi, ci: (mi, 0),
+        # plane-interleaved single output: rows of grid row-tile mi are
+        # [plane 0 rows | plane 1 rows | ...] — ONE device array, ONE
+        # D2H fetch for the whole bank drain
+        out = pl.BlockSpec((n * mt, w), lambda mi, ci: (mi, 0),
                            memory_space=pltpu.VMEM)
         grid_spec = pl.GridSpec(
             grid=(m_tiles, c_tiles),          # ci innermost (accumulate)
             in_specs=[plane] * n + [
                 pl.BlockSpec((ct, w), lambda mi, ci: (ci, 0),
                              memory_space=pltpu.VMEM)],
-            out_specs=[out] * n,
+            out_specs=out,
             scratch_shapes=[pltpu.VMEM((mt, w), jnp.float32)] * n,
         )
         call = pl.pallas_call(
-            partial(_compact_kernel, n_planes=n, c_tiles=c_tiles),
+            partial(_compact_kernel, n_planes=n, c_tiles=c_tiles, mt=mt),
             grid_spec=grid_spec,
-            out_shape=[jax.ShapeDtypeStruct((cfg.n_rows, w), jnp.float32)
-                       ] * n,
+            out_shape=jax.ShapeDtypeStruct((n * cfg.n_rows, w),
+                                           jnp.float32),
             interpret=self.interpret,
         )
         return jax.jit(call)
 
+    def dispatch(self, *planes):
+        """Dispatch the compaction; returns the DEVICE interleaved
+        array (fetch deferred — callers pipeline the drain)."""
+        assert len(planes) == self.cfg.n_planes
+        return self._call(*planes, self._sel_dev)
+
+    def fetch(self, stacked) -> tuple[np.ndarray, ...]:
+        """ONE D2H fetch of a dispatched handle, de-interleaved into
+        n_planes [M, W] numpy arrays."""
+        cfg = self.cfg
+        stacked = np.asarray(stacked)
+        m_tiles = cfg.n_rows // cfg.m_tile
+        v = stacked.reshape(m_tiles, cfg.n_planes, cfg.m_tile, cfg.width)
+        return tuple(
+            np.ascontiguousarray(v[:, p].reshape(cfg.n_rows, cfg.width))
+            for p in range(cfg.n_planes))
+
     def __call__(self, *planes):
         """planes: n_planes device-resident [M, C] float32 arrays →
-        tuple of [M, W] numpy arrays (the D2H fetch happens here, on
-        width-W planes instead of width-C)."""
-        assert len(planes) == self.cfg.n_planes
-        outs = self._call(*planes, self._sel_dev)
-        return tuple(np.asarray(o) for o in outs)
+        tuple of [M, W] numpy arrays (dispatch + single fetch)."""
+        return self.fetch(self.dispatch(*planes))

@@ -63,12 +63,19 @@ class PallasPSDConfig:
 
 
 def _psd_kernel(x_re, x_im, da_re, da_im, tw_re, tw_im, bd_re, bd_im,
-                fsum, out_ref, *, a: int, b: int, fb: int, scale: float):
+                fsum, out_ref, *, a: int, b: int, fb: int, scale: float,
+                in_gain: float = 1.0):
+    xr = x_re[:]
+    xi = x_im[:]
+    if xr.dtype != jnp.float32:
+        # int16 upload: dequantize in VMEM (in_gain = 1/i16_scale)
+        xr = xr.astype(jnp.float32) * jnp.float32(in_gain)
+        xi = xi.astype(jnp.float32) * jnp.float32(in_gain)
     # stage 1: S1 = DFT_A × X  over [A, Fb·B]
-    s1r = jnp.dot(da_re[:], x_re[:], preferred_element_type=jnp.float32) \
-        - jnp.dot(da_im[:], x_im[:], preferred_element_type=jnp.float32)
-    s1i = jnp.dot(da_re[:], x_im[:], preferred_element_type=jnp.float32) \
-        + jnp.dot(da_im[:], x_re[:], preferred_element_type=jnp.float32)
+    s1r = jnp.dot(da_re[:], xr, preferred_element_type=jnp.float32) \
+        - jnp.dot(da_im[:], xi, preferred_element_type=jnp.float32)
+    s1i = jnp.dot(da_re[:], xi, preferred_element_type=jnp.float32) \
+        + jnp.dot(da_im[:], xr, preferred_element_type=jnp.float32)
     # stage 2: twiddle W_N^{k1 b} (tiled over frames on host)
     s2r = s1r * tw_re[:] - s1i * tw_im[:]
     s2i = s1r * tw_im[:] + s1i * tw_re[:]
@@ -107,8 +114,11 @@ class PallasPSD:
     def __init__(self, cfg: PallasPSDConfig, sample_rate: float,
                  window: WindowFunction = WindowFunction.BLACKMANN_HARRIS,
                  alpha: float = 0.25,
-                 interpret: bool | None = None) -> None:
+                 interpret: bool | None = None,
+                 in_i16: bool = False, i16_scale: float = 4096.0) -> None:
         self.cfg = cfg
+        self.in_i16 = bool(in_i16)
+        self.i16_scale = float(i16_scale)
         self.sample_rate = float(sample_rate)
         self.alpha_block = 1.0 - (1.0 - alpha) ** cfg.frames_per_program
         self.window = window
@@ -189,7 +199,8 @@ class PallasPSD:
                                    memory_space=pltpu.VMEM),
         )
         call = pl.pallas_call(
-            partial(_psd_kernel, a=a, b=b, fb=fb, scale=scale),
+            partial(_psd_kernel, a=a, b=b, fb=fb, scale=scale,
+                    in_gain=1.0 / self.i16_scale),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((a, b), jnp.float32),
             interpret=self.interpret,
@@ -204,8 +215,17 @@ class PallasPSD:
         from sigdigger_tpu.native import frame_psd_packed
 
         cfg = self.cfg
-        return frame_psd_packed(np.asarray(x, np.complex64), self._taps,
-                                cfg.frames_per_block, cfg.a, cfg.b)
+        xp = frame_psd_packed(np.asarray(x, np.complex64), self._taps,
+                              cfg.frames_per_block, cfg.a, cfg.b)
+        if self.in_i16:
+            # post-window int16 quantization: half the upload bytes;
+            # the kernel dequantizes (flat noise ~-72 dBFS at the
+            # default scale — far below any display dynamic range)
+            out = np.empty(xp.shape, np.int16)
+            np.clip(np.rint(xp * self.i16_scale), -32768, 32767, out,
+                    casting="unsafe")
+            return out
+        return xp
 
     def feed(self, x: np.ndarray) -> np.ndarray:
         return self.fold(np.asarray(self.feed_async(x)))

@@ -57,12 +57,18 @@ class RawBankConfig:
 
 def _raw_kernel(xw_re, xw_im, h_re, h_im, theta, m_ramp, phi0,
                 y_re_ref, y_im_ref, pow_ref, scr_pow,
-                *, m_tiles: int, mt: int):
+                *, m_tiles: int, mt: int, in_gain: float = 1.0):
     mi = pl.program_id(1)
-    yr = jnp.dot(xw_re[:], h_re[:], preferred_element_type=jnp.float32) \
-        - jnp.dot(xw_im[:], h_im[:], preferred_element_type=jnp.float32)
-    yi = jnp.dot(xw_re[:], h_im[:], preferred_element_type=jnp.float32) \
-        + jnp.dot(xw_im[:], h_re[:], preferred_element_type=jnp.float32)
+    xr = xw_re[:]
+    xi = xw_im[:]
+    if xr.dtype != jnp.float32:
+        # int16 packed upload: dequantize in VMEM
+        xr = xr.astype(jnp.float32) * jnp.float32(in_gain)
+        xi = xi.astype(jnp.float32) * jnp.float32(in_gain)
+    yr = jnp.dot(xr, h_re[:], preferred_element_type=jnp.float32) \
+        - jnp.dot(xi, h_im[:], preferred_element_type=jnp.float32)
+    yi = jnp.dot(xr, h_im[:], preferred_element_type=jnp.float32) \
+        + jnp.dot(xi, h_re[:], preferred_element_type=jnp.float32)
     ph = phi0[0:1, :] + m_ramp[:] * theta[:]
     cr = jnp.cos(ph)
     ci = -jnp.sin(ph)
@@ -104,7 +110,8 @@ class RawBank:
         self._upload()
         self._history = np.zeros(cfg.taps - 1, np.complex64)
         self._phi = np.zeros(c, np.float64)
-        self.block_power = np.zeros(c, np.float32)
+        self._power_host = np.zeros(c, np.float32)
+        self._power_dev = None
         self._call = self._build()
 
     def configure_channel(self, i: int, *, f0: float | None = None,
@@ -146,18 +153,26 @@ class RawBank:
                 self._theta64.astype(np.float32)[None, :]),
         }
 
-    def _build(self, cfg: RawBankConfig | None = None, jit: bool = True):
+    def _build(self, cfg: RawBankConfig | None = None, jit: bool = True,
+               packed: bool = False):
         cfg = cfg or self.cfg
         ct, mt, k = cfg.channel_tile, cfg.m_tile, cfg.taps
         c_tiles = cfg.n_channels // ct
         m_tiles = cfg.block_out // mt
+        # packed: re/im planes are two views of ONE [2M, K] buffer
+        # (rows [0, M) then [M, 2M)) — single H2D transfer, optionally
+        # int16 (the kernel dequantizes)
+        im_spec = (pl.BlockSpec((mt, k),
+                                lambda ci, mi, _mt=m_tiles: (_mt + mi, 0),
+                                memory_space=pltpu.VMEM) if packed
+                   else pl.BlockSpec((mt, k), lambda ci, mi: (mi, 0),
+                                     memory_space=pltpu.VMEM))
         grid_spec = pl.GridSpec(
             grid=(c_tiles, m_tiles),
             in_specs=[
                 pl.BlockSpec((mt, k), lambda ci, mi: (mi, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((mt, k), lambda ci, mi: (mi, 0),
-                             memory_space=pltpu.VMEM),
+                im_spec,
                 pl.BlockSpec((k, ct), lambda ci, mi: (0, ci),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((k, ct), lambda ci, mi: (0, ci),
@@ -181,7 +196,8 @@ class RawBank:
         )
         c = cfg.n_channels
         call = pl.pallas_call(
-            partial(_raw_kernel, m_tiles=m_tiles, mt=mt),
+            partial(_raw_kernel, m_tiles=m_tiles, mt=mt,
+                    in_gain=1.0 / 4096.0),
             grid_spec=grid_spec,
             out_shape=[
                 jax.ShapeDtypeStruct((cfg.block_out, c), jnp.float32),
@@ -214,6 +230,49 @@ class RawBank:
         self._history = ext[-(cfg.taps - 1):].copy()
         return xw_re, xw_im
 
+    def frame_packed(self, x: np.ndarray,
+                     i16: bool = False) -> np.ndarray:
+        """Host framing into ONE packed [2M, K] buffer (optionally
+        saturating int16 at 4096 counts/unit) with carried history —
+        shareable across same-shape banks AND PallasPSDFromXW."""
+        from sigdigger_tpu.native import (
+            frame_windows_packed,
+            frame_windows_packed_i16,
+        )
+
+        cfg = self.cfg
+        ext = np.concatenate([self._history,
+                              np.asarray(x, np.complex64)])
+        if i16:
+            xw = frame_windows_packed_i16(ext, cfg.block_out, cfg.taps,
+                                          cfg.decimation, 4096.0)
+        else:
+            xw = frame_windows_packed(ext, cfg.block_out, cfg.taps,
+                                      cfg.decimation)
+        self._history = ext[-(cfg.taps - 1):].copy()
+        return xw
+
+    def feed_packed(self, xw, fetch: bool = True):
+        """Like :meth:`feed_frames` but on a packed [2M, K] buffer
+        (upload once, alias twice)."""
+        import jax as _jax
+
+        if getattr(self, "_call_packed", None) is None:
+            self._call_packed = self._build(packed=True)
+        cfg = self.cfg
+        xw = _jax.device_put(xw)
+        y_re, y_im, power = self._call_packed(
+            xw, xw, self.consts["h_re"], self.consts["h_im"],
+            self.consts["theta"], self._m_ramp, self._phi_tiles(),
+        )
+        self._phi = np.mod(
+            self._phi + self._theta64 * cfg.block_out, _TWO_PI)
+        self._power_dev = power
+        self._power_host = None
+        if fetch:
+            return np.asarray(y_re), np.asarray(y_im)
+        return y_re, y_im
+
     def feed(self, x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """One block of ``cfg.block_in`` IQ samples → (y_re, y_im)
         float32 planes [block_out, n_channels]; also updates
@@ -232,10 +291,18 @@ class RawBank:
         )
         self._phi = np.mod(
             self._phi + self._theta64 * cfg.block_out, _TWO_PI)
-        self.block_power = np.asarray(power)[0]
+        # lazy: per-fetch tunnel RTT is ~ms — only consumers pay it
+        self._power_dev = power
+        self._power_host = None
         if fetch:
             return np.asarray(y_re), np.asarray(y_im)
         return y_re, y_im
+
+    @property
+    def block_power(self) -> np.ndarray:
+        if self._power_host is None:
+            self._power_host = np.asarray(self._power_dev)[0]
+        return self._power_host
 
     def feed_device(self, xw_re, xw_im, phi0):
         return self._call(

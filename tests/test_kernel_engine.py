@@ -338,3 +338,40 @@ def test_compact_fallback_when_active_exceeds_width():
     an.poll()
     assert an._buckets[16].cmap              # active set fits again
     assert an.step()
+
+
+def test_pipelined_step_equals_sync():
+    """pipeline_depth=2 (overlapped dispatch/drain) must produce the
+    SAME message payloads as the synchronous engine, just lagged one
+    block and flushed at EOS."""
+    def run(depth):
+        an = make_engine(
+            [Emitter(freq=60e3, amplitude=1.0, fm_rate=300.0,
+                     fm_dev=2000.0),
+             Emitter(freq=-50e3, amplitude=1.0, kind="psk", order=4,
+                     baud=2000.0, seed=9)],
+            n_slots=128, pipeline_depth=depth)
+        h_a = an.open_inspector(
+            "audio", Channel(fc=60e3, bw=12e3),
+            config={"audio.demodulator": 2, "audio.volume": 1.0,
+                    "audio.sample-rate": an.audio_rate})
+        h_p = an.open_inspector(
+            "psk", Channel(fc=-50e3, bw=6e3),
+            config={"afc.bits-per-symbol": 2, "clock.baud": 2000.0})
+        an.poll()
+        out = {h_a: [], h_p: []}
+        for _ in range(4):
+            assert an.step()
+            for m in an.poll():
+                if m.kind == MessageKind.SAMPLES:
+                    out[m.handle].append(np.asarray(m.samples))
+        # EOS-equivalent: force the tail drain
+        out2 = {k: list(v) for k, v in out.items()}
+        for slot, samples, extras, raw in an._flush_pipeline():
+            out2[slot.handle].append(np.asarray(samples))
+        return [np.concatenate(v) for v in out2.values()]
+
+    sync = run(1)
+    piped = run(2)
+    for a, b in zip(sync, piped):
+        np.testing.assert_allclose(a, b, rtol=0, atol=1e-5)
