@@ -548,7 +548,7 @@ class Analyzer:
 
             if self._t_start is None:
                 self._t_start = time.monotonic()
-            self._spectrum.feed(x)
+            self._feed_spectrum(x)
             sample_msgs = self._compute_block(x)
 
         # emit outside the lock
@@ -560,8 +560,12 @@ class Analyzer:
 
         now = time.time()
         stream_t = self._samples_done / self.sample_rate
-        if (stream_t - self._last_psd_emit >= self.params.psd_update_interval
-                or self._blocks == 1):
+        if ((stream_t - self._last_psd_emit >= self.params.psd_update_interval
+                or self._blocks == 1)
+                # a pipelined spectrum (kernel engine, depth>1) has
+                # nothing folded yet on the first block(s) — hold the
+                # PSD message until real data exists
+                and getattr(self._spectrum, "_count", 1) > 0):
             self._last_psd_emit = stream_t
             shifted = self._spectrum.shifted()
             self._detector.feed(shifted)
@@ -589,6 +593,11 @@ class Analyzer:
             if slot.spectrum_source:
                 self._emit_inspector_spectrum(slot, raw)
         return True
+
+    def _feed_spectrum(self, x: np.ndarray) -> None:
+        """Spectrum-path hook: subclasses may fold the PSD elsewhere
+        (the kernel engine shares the channelizer's packed upload)."""
+        self._spectrum.feed(x)
 
     def _emit_estimators(self, slot: _InspectorSlot, y: np.ndarray) -> None:
         from sigdigger_tpu.analyzer.estimators import estimate

@@ -216,8 +216,14 @@ class KernelAnalyzer(Analyzer):
                  decimations: tuple[int, ...] | None = None,
                  interpret: bool | None = None, mesh=None,
                  compact_cols: int = 32,
-                 pipeline_depth: int = 1) -> None:
+                 pipeline_depth: int = 1,
+                 in_i16: bool | None = None) -> None:
         self._compact_cols = int(compact_cols)
+        # int16 packed uploads (in-kernel dequantization at 4096
+        # counts/unit — quantization floor ~-72 dBFS): defaults ON for
+        # compiled TPU runs (halves H2D bytes through tunnel/PCIe),
+        # OFF under interpret so CPU tests stay exact
+        self._in_i16 = in_i16
         # depth >1 overlaps the next block's framing/upload with the
         # previous block's device compute + D2H drain (messages lag
         # depth-1 blocks; flushed at EOS)
@@ -237,8 +243,15 @@ class KernelAnalyzer(Analyzer):
     # DSP construction
     # ------------------------------------------------------------------
     def _build_dsp(self) -> None:
+        import jax
+
         rate = self.source.sample_rate
         w = self.params.window_size
+        itp = self._interpret
+        if itp is None:
+            itp = jax.default_backend() not in ("tpu", "axon")
+        if self._in_i16 is None:
+            self._in_i16 = not itp
         n_mesh = self._mesh.shape["ch"] if self._mesh is not None else 1
         if self._n_slots % max(n_mesh, 1):
             raise ValueError(
@@ -324,6 +337,37 @@ class KernelAnalyzer(Analyzer):
                         channel_tile=tile),
                     interpret=self._interpret)
             self._buckets[d] = bucket
+
+        # Spectrum sharing the channelizer upload: when a bucket's
+        # window geometry matches the Bailey factorization (decimation
+        # == taps == B), the PSD reads that bucket's packed [2M, K]
+        # buffer directly (kernels/fft.py PallasPSDFromXW) — per block
+        # the host uploads ONE buffer for PSD + AudioBank + RawBank
+        # (reference: one shared source loop feeds FFT and inspectors,
+        # Suscan/Analyzer.cpp source worker).
+        from sigdigger_tpu.types import AnalyzerMode
+
+        self._psd_bucket = None
+        if (self._mesh is None
+                and self.params.mode != AnalyzerMode.WIDE_SPECTRUM):
+            b_fac = self._spectrum.cfg.b
+            for d in self._decimations:
+                raw_cfg = self._buckets[d].raw.cfg
+                if d == b_fac and raw_cfg.taps == b_fac:
+                    from sigdigger_tpu.kernels.fft import PallasPSDFromXW
+
+                    self._spectrum = PallasPSDFromXW(
+                        self._spectrum.cfg,
+                        m_rows=self.block_size // d,
+                        sample_rate=rate,
+                        window=self.params.window_function,
+                        alpha=self.params.spectrum_avg_alpha,
+                        interpret=self._interpret,
+                        in_scale=(1.0 / 4096.0 if self._in_i16
+                                  else 1.0),
+                    )
+                    self._psd_bucket = self._buckets[d]
+                    break
 
         primary = self._buckets[self._decimation]
         self._audio_bank = primary.audio      # primary-bucket aliases
@@ -571,23 +615,44 @@ class KernelAnalyzer(Analyzer):
         (the receiver's feed_async/drain discipline, KernelReceiver.run).
         Messages lag (depth-1) blocks; ``_flush_pipeline`` drains the
         tail at EOS."""
+        import jax
+
         by_bucket: dict[int, list] = {}
         for slot in self._inspectors.values():
             ks = self._kslots[slot.handle]
             by_bucket.setdefault(ks.bucket.decimation, []).append(slot)
-        handles = [self._dispatch_bucket(self._buckets[d], slots, x)
-                   for d, slots in by_bucket.items()]
-        self._inflight.append(handles)
+        xw_shared = psd_dev = None
+        if self._psd_bucket is not None:
+            # ONE packed (optionally int16) upload feeds the PSD and —
+            # via _dispatch_bucket below — this bucket's banks
+            xw_shared = jax.device_put(
+                self._psd_bucket.raw.frame_packed(x, i16=self._in_i16))
+            psd_dev = self._spectrum.feed_async(xw_shared)
+        handles = [self._dispatch_bucket(
+            self._buckets[d], slots, x,
+            xw_shared if self._buckets[d] is self._psd_bucket else None)
+            for d, slots in by_bucket.items()]
+        self._inflight.append((handles, psd_dev))
         if len(self._inflight) < self._pipeline_depth:
             return []
-        return [m for hs in self._inflight.pop(0)
-                for m in self._drain_bucket(hs)]
+        return self._drain_entry(self._inflight.pop(0))
+
+    def _feed_spectrum(self, x: np.ndarray) -> None:
+        if self._psd_bucket is None:
+            super()._feed_spectrum(x)
+        # else: _compute_block feeds the PSD from the shared packed
+        # buffer (fold lags depth-1 blocks, like the sample messages)
+
+    def _drain_entry(self, entry) -> list:
+        handles, psd_dev = entry
+        if psd_dev is not None:
+            self._spectrum.fold(np.asarray(psd_dev))
+        return [m for hs in handles for m in self._drain_bucket(hs)]
 
     def _flush_pipeline(self) -> list:
         out = []
         while self._inflight:
-            out.extend(m for hs in self._inflight.pop(0)
-                       for m in self._drain_bucket(hs))
+            out.extend(self._drain_entry(self._inflight.pop(0)))
         return out
 
     def step(self) -> bool:
@@ -610,10 +675,15 @@ class KernelAnalyzer(Analyzer):
         return ok
 
     def _dispatch_bucket(self, bucket: _Bucket, slots: list,
-                         x: np.ndarray) -> dict:
+                         x: np.ndarray, xw=None) -> dict:
         """Frame + dispatch every bank this bucket's slots need;
         returns a handle of DEVICE arrays (plus the mapping snapshot)
-        for :meth:`_drain_bucket`."""
+        for :meth:`_drain_bucket`.  ``xw`` is an already-uploaded
+        packed window buffer (from the PSD share in _compute_block);
+        when None and unsharded, the bucket frames packed itself —
+        ONE H2D per bucket (int16 when ``in_i16``) feeds both banks."""
+        import jax
+
         any_audio = any(s.class_name == "audio" for s in slots)
         any_digital = any(s.class_name in _DIGITAL for s in slots)
         # the [M, C] raw planes only cross to the host when a slot
@@ -632,9 +702,15 @@ class KernelAnalyzer(Analyzer):
         h: dict = {"bucket": bucket, "slots": slots, "comp": comp,
                    "cmap": dict(bucket.cmap),
                    "need_host_raw": need_host_raw}
-        frames = bucket.raw.frame(x)          # single shared framing
+        packed = self._mesh is None
+        if packed and xw is None:
+            xw = jax.device_put(
+                bucket.raw.frame_packed(x, i16=self._in_i16))
+        frames = None if packed else bucket.raw.frame(x)
         if any_audio:
-            audio = bucket.audio.feed_frames(*frames, fetch=False)
+            audio = (bucket.audio.feed_packed(xw, fetch=False)
+                     if packed else
+                     bucket.audio.feed_frames(*frames, fetch=False))
             h["audio"] = (bucket.comp_audio.dispatch(audio) if comp
                           else audio)
             h["sq"] = bucket.audio._sq        # this block's squelch rows
@@ -642,7 +718,9 @@ class KernelAnalyzer(Analyzer):
             h["squelch"] = bucket.audio._squelch.copy()
         y_re = y_im = None
         if need_host_raw or any_digital:
-            y_re, y_im = bucket.raw.feed_frames(*frames, fetch=False)
+            y_re, y_im = (bucket.raw.feed_packed(xw, fetch=False)
+                          if packed else
+                          bucket.raw.feed_frames(*frames, fetch=False))
             h["power"] = bucket.raw._power_dev
         if any_digital:
             d_sr, d_si, d_st = bucket.rec.feed_planes(

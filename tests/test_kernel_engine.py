@@ -375,3 +375,60 @@ def test_pipelined_step_equals_sync():
     piped = run(2)
     for a, b in zip(sync, piped):
         np.testing.assert_allclose(a, b, rtol=0, atol=1e-5)
+
+
+def test_psd_shares_channelizer_upload():
+    """decimation == taps == Bailey B: the engine's PSD must run off
+    the channelizer's packed window buffer (PallasPSDFromXW — one H2D
+    per block for PSD + banks) and still locate a CW tone exactly."""
+    from sigdigger_tpu.kernels.fft import PallasPSDFromXW
+
+    f0 = 60e3
+    an = make_engine([Emitter(freq=f0, amplitude=1.0)], decimation=64)
+    assert isinstance(an._spectrum, PallasPSDFromXW)
+    assert an._psd_bucket is an._buckets[64]
+    peaks = []
+    for _ in range(6):
+        assert an.step()
+        for m in an.poll():
+            if m.kind == MessageKind.PSD:
+                freqs = np.linspace(-FS / 2, FS / 2, len(m.data),
+                                    endpoint=False)
+                peaks.append(freqs[int(np.argmax(m.data))])
+    assert peaks and all(abs(p - f0) <= FS / 4096 for p in peaks)
+
+
+def test_engine_i16_upload_equivalence():
+    """in_i16=True (int16 packed uploads, in-kernel dequantization)
+    must match the f32 engine to quantization accuracy on FM audio and
+    place the PSD peak on the same bin."""
+    fa, f0 = 400.0, 60e3
+
+    def run(i16):
+        an = make_engine([Emitter(freq=f0, amplitude=1.0, fm_rate=fa,
+                                  fm_dev=2000.0),
+                          Emitter(freq=-90e3, amplitude=2.0)],
+                         decimation=64, in_i16=i16)
+        h = an.open_inspector("audio", Channel(fc=f0, bw=12e3),
+                              config={"audio.demodulator": 2,
+                                      "audio.volume": 1.0,
+                                      "audio.sample-rate":
+                                          int(an.audio_rate)})
+        an.poll()
+        audio, peaks = [], []
+        for _ in range(8):
+            assert an.step()
+            for m in an.poll():
+                if m.kind == MessageKind.SAMPLES and m.handle == h:
+                    audio.append(m.samples)
+                elif m.kind == MessageKind.PSD:
+                    peaks.append(int(np.argmax(m.data)))
+        return np.concatenate(audio), peaks
+
+    a32, p32 = run(False)
+    a16, p16 = run(True)
+    assert p32 == p16
+    assert len(a32) == len(a16) > 256
+    err = (a32 - a16)[64:]
+    sig = np.mean(a32[64:] ** 2)
+    assert 10 * np.log10(sig / max(np.mean(err ** 2), 1e-30)) > 40.0
