@@ -42,6 +42,8 @@ class ColumnCompactorConfig:
     n_planes: int = 1            # planes compacted per dispatch
     m_tile: int = 0              # rows per grid program (0 → auto)
     channel_tile: int = 128
+    out_bf16: bool = False       # drain bf16 (halves D2H bytes; the
+                                 # selection matmul still runs f32)
 
     def __post_init__(self):
         assert self.n_channels % self.channel_tile == 0
@@ -74,9 +76,9 @@ def _compact_kernel(*refs, n_planes: int, c_tiles: int, mt: int):
 
             @pl.when(ci == c_tiles - 1)
             def _(p=p, scr=scr):
-                out[p * mt:(p + 1) * mt, :] = scr[:]
+                out[p * mt:(p + 1) * mt, :] = scr[:].astype(out.dtype)
         else:
-            out[p * mt:(p + 1) * mt, :] = acc
+            out[p * mt:(p + 1) * mt, :] = acc.astype(out.dtype)
 
 
 class ColumnCompactor:
@@ -122,11 +124,11 @@ class ColumnCompactor:
             out_specs=out,
             scratch_shapes=[pltpu.VMEM((mt, w), jnp.float32)] * n,
         )
+        dtype = jnp.bfloat16 if cfg.out_bf16 else jnp.float32
         call = pl.pallas_call(
             partial(_compact_kernel, n_planes=n, c_tiles=c_tiles, mt=mt),
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((n * cfg.n_rows, w),
-                                           jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((n * cfg.n_rows, w), dtype),
             interpret=self.interpret,
         )
         return jax.jit(call)
@@ -142,6 +144,8 @@ class ColumnCompactor:
         n_planes [M, W] numpy arrays."""
         cfg = self.cfg
         stacked = np.asarray(stacked)
+        if stacked.dtype != np.float32:
+            stacked = stacked.astype(np.float32)
         m_tiles = cfg.n_rows // cfg.m_tile
         v = stacked.reshape(m_tiles, cfg.n_planes, cfg.m_tile, cfg.width)
         return tuple(

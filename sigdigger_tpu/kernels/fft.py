@@ -261,6 +261,25 @@ class PallasPSD:
         return np.fft.fftshift(self.psd).astype(np.float32)
 
 
+def _psd_kernel_xw_ema(x_re, x_im, w2d, da_re, da_im, tw_re, tw_im,
+                       db_re, db_im, fsum, prev, alpha, out_ref, *,
+                       a: int, b: int, fb: int, scale: float,
+                       n_prog: int):
+    """:func:`_psd_kernel_xw` + device-resident EMA fold: the running
+    PSD state never leaves HBM — the host fetches it only when a PSD
+    message is actually due (the per-block 16 KB fetch costs a full
+    tunnel round trip, ~25 ms measured)."""
+    _psd_kernel_xw(x_re, x_im, w2d, da_re, da_im, tw_re, tw_im, db_re,
+                   db_im, fsum, out_ref, a=a, b=b, fb=fb, scale=scale)
+    prog = pl.program_id(0)
+
+    @pl.when(prog == n_prog - 1)
+    def _():
+        # out_ref holds this block's mean PSD; blend into the carry
+        # (alpha plane is 1.0 on the very first block)
+        out_ref[:] = prev[:] + alpha[:] * (out_ref[:] - prev[:])
+
+
 def _psd_kernel_xw(x_re, x_im, w2d, da_re, da_im, tw_re, tw_im, db_re,
                    db_im, fsum, out_ref, *, a: int, b: int, fb: int,
                    scale: float):
@@ -373,39 +392,63 @@ class PallasPSDFromXW(PallasPSD):
         scale = 1.0 / (self.sample_rate * wsum2 * cfg.frames_per_block)
         n_prog = cfg.frames_per_block // fb
         im_off = m_rows // (fb * a)       # im plane starts at row M
+        self._xw_interpret = interpret
+        self._xw_dims = (a, b, fb, scale, n_prog, im_off)
+        self._call = self._build_xw(ema=False)
+        self._call_ema = None             # built on first feed_ema
+        self._psd_dev = None              # device-resident EMA carry
+        self._alpha_plane = jnp.full((a, b), self.alpha_block,
+                                     jnp.float32)
+        self._one_plane = jnp.ones((a, b), jnp.float32)
+
+    def _build_xw(self, ema: bool):
+        a, b, fb, scale, n_prog, im_off = self._xw_dims
+        in_specs = [
+            pl.BlockSpec((fb * a, b), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),   # xw packed re
+            pl.BlockSpec((fb * a, b),
+                         lambda i, _o=im_off: (_o + i, 0),
+                         memory_space=pltpu.VMEM),   # xw packed im
+            pl.BlockSpec((fb * a, b), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),   # w2d (tiled)
+            pl.BlockSpec((fb * a, fb * a), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),   # block-diag DA
+            pl.BlockSpec((fb * a, fb * a), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((fb * a, b), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),   # tw_re (tiled)
+            pl.BlockSpec((fb * a, b), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),   # tw_im
+            pl.BlockSpec((b, b), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, b), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((a, fb * a), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),   # fsum
+        ]
+        if ema:
+            in_specs += [
+                pl.BlockSpec((a, b), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),  # prev EMA
+                pl.BlockSpec((a, b), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),  # alpha plane
+            ]
+            kern = partial(_psd_kernel_xw_ema, a=a, b=b, fb=fb,
+                           scale=scale, n_prog=n_prog)
+        else:
+            kern = partial(_psd_kernel_xw, a=a, b=b, fb=fb,
+                           scale=scale)
         grid_spec = pl.GridSpec(
             grid=(n_prog,),
-            in_specs=[
-                pl.BlockSpec((fb * a, b), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),   # xw packed re
-                pl.BlockSpec((fb * a, b),
-                             lambda i, _o=im_off: (_o + i, 0),
-                             memory_space=pltpu.VMEM),   # xw packed im
-                pl.BlockSpec((fb * a, b), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),   # w2d (tiled)
-                pl.BlockSpec((fb * a, fb * a), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),   # block-diag DA
-                pl.BlockSpec((fb * a, fb * a), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((fb * a, b), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),   # tw_re (tiled)
-                pl.BlockSpec((fb * a, b), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),   # tw_im
-                pl.BlockSpec((b, b), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((b, b), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((a, fb * a), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),   # fsum
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((a, b), lambda i: (0, 0),
                                    memory_space=pltpu.VMEM),
         )
-        self._call = jax.jit(pl.pallas_call(
-            partial(_psd_kernel_xw, a=a, b=b, fb=fb, scale=scale),
+        return jax.jit(pl.pallas_call(
+            kern,
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((a, b), jnp.float32),
-            interpret=interpret,
+            interpret=self._xw_interpret,
         ))
 
     def feed_async(self, xw):
@@ -416,3 +459,36 @@ class PallasPSDFromXW(PallasPSD):
 
     def feed(self, xw) -> np.ndarray:
         return self.fold(np.asarray(self.feed_async(xw)))
+
+    # ------------------------------------------------------------------
+    # device-resident EMA: dispatch every block, fetch only when a PSD
+    # message is due (saves one ~25 ms tunnel round trip per block)
+    # ------------------------------------------------------------------
+    def feed_ema(self, xw) -> None:
+        """Dispatch + on-device EMA fold; nothing crosses to the host.
+        Read the folded PSD via :meth:`shifted` when a message is due."""
+        if self._call_ema is None:
+            self._call_ema = self._build_xw(ema=True)
+        xw = jax.device_put(xw)
+        if self._psd_dev is None or self._count == 0:
+            prev = jnp.zeros_like(self._one_plane)
+            alpha = self._one_plane            # first block: copy-in
+        else:
+            prev = self._psd_dev
+            alpha = self._alpha_plane
+        self._psd_dev = self._call_ema(xw, xw, *self._const, prev,
+                                       alpha)
+        self._count += 1
+
+    def _host_psd(self) -> np.ndarray:
+        if self._psd_dev is not None:
+            self.psd = self.unpermute(
+                np.asarray(self._psd_dev)).astype(np.float64)
+        return self.psd
+
+    def shifted(self) -> np.ndarray:
+        return np.fft.fftshift(self._host_psd()).astype(np.float32)
+
+    def reset(self) -> None:
+        super().reset()
+        self._psd_dev = None

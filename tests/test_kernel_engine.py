@@ -277,17 +277,17 @@ def test_bucketed_decimation_different_equiv_rates():
 
 
 def test_compact_drain_equals_full_drain():
-    """Device-side active-column compaction (kernels/compact.py) must
-    be drain-invariant: the same session with compact_cols small enough
-    to engage (n_slots > W >= active) produces byte-equal SAMPLES
-    payloads vs the full-plane drain."""
-    def run(compact_cols):
+    """Device-side active-column compaction must be drain-invariant:
+    compact drains (kernels/compact.py) byte-equal the full-plane
+    drain; the single-fetch int16 drain pack (kernels/drainpack.py)
+    matches to its documented quantization steps."""
+    def run(compact_cols, **kw):
         an = make_engine(
             [Emitter(freq=60e3, amplitude=1.0, fm_rate=300.0,
                      fm_dev=2000.0),
              Emitter(freq=-50e3, amplitude=1.0, kind="psk", order=4,
                      baud=2000.0, seed=9)],
-            n_slots=128, compact_cols=compact_cols)
+            n_slots=128, compact_cols=compact_cols, **kw)
         h_a = an.open_inspector(
             "audio", Channel(fc=60e3, bw=12e3),
             config={"audio.demodulator": 2, "audio.volume": 1.0,
@@ -310,10 +310,16 @@ def test_compact_drain_equals_full_drain():
                 np.concatenate(strobes))
 
     full, st_full = run(compact_cols=0)
-    comp, st_comp = run(compact_cols=8)
+    comp, st_comp = run(compact_cols=8, drain_pack=False)
     for a, b in zip(full, comp):
         np.testing.assert_allclose(a, b, rtol=0, atol=1e-5)
     np.testing.assert_array_equal(st_full, st_comp)
+    # single-fetch int16 pack: within the per-section quantization step
+    # (audio/raw 1/4096, soft 1/8192), strobes exact
+    pack, st_pack = run(compact_cols=8)
+    for a, b in zip(full, pack):
+        np.testing.assert_allclose(a, b, rtol=0, atol=2.5 / 4096.0)
+    np.testing.assert_array_equal(st_full, st_pack)
 
 
 def test_compact_fallback_when_active_exceeds_width():
