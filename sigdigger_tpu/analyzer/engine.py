@@ -21,7 +21,7 @@ import enum
 import queue
 import threading
 import time
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from typing import Any
 
 import numpy as np
@@ -73,6 +73,12 @@ class _InspectorSlot:
     lo: float
     estimators: set[str]
     spectrum_source: int = 0    # 0=none, 1=input spectrum
+    # sample watermark (reference setInspectorWatermarkAsync,
+    # Suscan/Analyzer.cpp:497-507): SamplesMessages are held until at
+    # least `watermark` samples have accumulated
+    watermark: int = 0
+    wm_buf: list = field(default_factory=list)
+    wm_count: int = 0
 
 
 class Analyzer:
@@ -489,6 +495,57 @@ class Analyzer:
             request_id=request_id, handle=handle, bandwidth=bw,
         ))
 
+    def set_inspector_watermark(self, handle: int, watermark: int,
+                                request_id: int = 0) -> None:
+        """Hold SamplesMessages until ``watermark`` samples accumulate
+        (reference setInspectorWatermarkAsync, Suscan/Analyzer.cpp:
+        497-507).  0/1 restores per-block delivery."""
+        slot = self._slot(handle, request_id)
+        if slot is None:
+            return
+        with self._lock:
+            slot.watermark = max(0, int(watermark))
+        self._emit(InspectorMessage(
+            inspector_kind=InspectorMessageKind.SET_WATERMARK,
+            request_id=request_id, handle=handle,
+            inspector_id=slot.inspector_id,
+        ))
+
+    def _emit_samples(self, slot: _InspectorSlot, samples, extras,
+                      now: float) -> None:
+        """Emit one SamplesMessage, honoring the slot watermark."""
+        if slot.watermark <= 1 and not slot.wm_buf:
+            self._emit(SamplesMessage(
+                inspector_id=slot.inspector_id, handle=slot.handle,
+                samples=samples, extras=extras, timestamp=now))
+            return
+        slot.wm_buf.append((samples, extras))
+        slot.wm_count += len(samples)
+        if slot.wm_count < slot.watermark:
+            return
+        self._flush_watermark(slot, now)
+
+    def _flush_watermark(self, slot: _InspectorSlot, now: float) -> None:
+        if not slot.wm_buf:
+            return
+        parts = slot.wm_buf
+        slot.wm_buf = []
+        slot.wm_count = 0
+        samples = np.concatenate([np.atleast_1d(s) for s, _ in parts])
+        extras: dict[str, Any] = {}
+        for _, e in parts:
+            for k, v in (e or {}).items():
+                a = np.asarray(v)
+                if a.ndim == 0:          # scalars: last value wins
+                    extras[k] = v
+                else:
+                    extras.setdefault(k, []).append(a)
+        extras = {k: (np.concatenate(v) if isinstance(v, list) else v)
+                  for k, v in extras.items()}
+        self._emit(SamplesMessage(
+            inspector_id=slot.inspector_id, handle=slot.handle,
+            samples=samples, extras=extras, timestamp=now))
+
     def set_estimator(self, handle: int, estimator_id: str, enabled: bool,
                       request_id: int = 0) -> None:
         """Toggle an in-channel estimator (reference
@@ -515,6 +572,7 @@ class Analyzer:
         slot = self._slot(handle, request_id)
         if slot is None:
             return
+        self._flush_watermark(slot, time.time())
         with self._lock:
             self._channelizer.close(slot.chan_handle)
             self._by_id.pop(slot.inspector_id, None)
@@ -584,10 +642,7 @@ class Analyzer:
                 self._emit(ChannelMessage(channels=channels))
 
         for slot, samples, extras, raw in sample_msgs:
-            self._emit(SamplesMessage(
-                inspector_id=slot.inspector_id, handle=slot.handle,
-                samples=samples, extras=extras, timestamp=now,
-            ))
+            self._emit_samples(slot, samples, extras, now)
             if slot.estimators:
                 self._emit_estimators(slot, raw)
             if slot.spectrum_source:

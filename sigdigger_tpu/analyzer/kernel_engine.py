@@ -611,6 +611,9 @@ class KernelAnalyzer(Analyzer):
         slot = self._slot(handle, request_id)
         if slot is None:
             return
+        import time as _time
+
+        self._flush_watermark(slot, _time.time())
         with self._lock:
             ks = self._kslots.pop(handle)
             # mask the slot: silence the audio column, then recycle
@@ -642,7 +645,7 @@ class KernelAnalyzer(Analyzer):
         for slot in self._inspectors.values():
             ks = self._kslots[slot.handle]
             by_bucket.setdefault(ks.bucket.decimation, []).append(slot)
-        xw_shared = psd_dev = None
+        xw_shared = None
         if self._psd_bucket is not None:
             # ONE packed (optionally int16) upload feeds the PSD and —
             # via _dispatch_bucket below — this bucket's banks; the
@@ -654,7 +657,7 @@ class KernelAnalyzer(Analyzer):
             self._buckets[d], slots, x,
             xw_shared if self._buckets[d] is self._psd_bucket else None)
             for d, slots in by_bucket.items()]
-        self._inflight.append((handles, psd_dev))
+        self._inflight.append(handles)
         if len(self._inflight) < self._pipeline_depth:
             return []
         return self._drain_entry(self._inflight.pop(0))
@@ -665,10 +668,7 @@ class KernelAnalyzer(Analyzer):
         # else: _compute_block feeds the PSD from the shared packed
         # buffer (fold lags depth-1 blocks, like the sample messages)
 
-    def _drain_entry(self, entry) -> list:
-        handles, psd_dev = entry
-        if psd_dev is not None:
-            self._spectrum.fold(np.asarray(psd_dev))
+    def _drain_entry(self, handles) -> list:
         return [m for hs in handles for m in self._drain_bucket(hs)]
 
     def _flush_pipeline(self) -> list:
@@ -683,13 +683,9 @@ class KernelAnalyzer(Analyzer):
             # EOS with blocks still in flight: drain and emit the tail
             import time as _time
 
-            from sigdigger_tpu.analyzer.messages import SamplesMessage
-
             now = _time.time()
             for slot, samples, extras, raw in self._flush_pipeline():
-                self._emit(SamplesMessage(
-                    inspector_id=slot.inspector_id, handle=slot.handle,
-                    samples=samples, extras=extras, timestamp=now))
+                self._emit_samples(slot, samples, extras, now)
                 if slot.estimators:
                     self._emit_estimators(slot, raw)
                 if slot.spectrum_source:

@@ -73,6 +73,7 @@ class InspectorMessageKind(enum.Enum):
     SET_ID = "set_id"
     SET_FREQ = "set_freq"
     SET_BANDWIDTH = "set_bandwidth"
+    SET_WATERMARK = "set_watermark"
     ESTIMATOR = "estimator"
     SPECTRUM = "spectrum"
     ORBIT_REPORT = "orbit_report"

@@ -41,6 +41,7 @@ from __future__ import annotations
 
 import enum
 import hashlib
+import hmac
 import os
 import socket
 import struct
@@ -179,7 +180,18 @@ def read_pdu(sock: socket.socket, spec: WireSpec = SPEC) -> bytes:
         raise ConnectionError(f"oversized PDU ({size} bytes)")
     payload = _recv_exact(sock, size)
     if magic == spec.pdu_magic_compressed:
-        payload = zlib.decompress(payload)
+        # bounded inflate: a small deflate payload must not be allowed
+        # to expand past max_pdu_size (decompression-bomb guard)
+        d = zlib.decompressobj()
+        try:
+            out = d.decompress(payload, spec.max_pdu_size)
+        except zlib.error as e:
+            raise ConnectionError(f"bad deflate payload: {e}") from e
+        if d.unconsumed_tail:
+            raise ConnectionError("oversized PDU after inflate")
+        if not d.eof:
+            raise ConnectionError("truncated deflate payload")
+        payload = out
     return payload
 
 
@@ -351,7 +363,11 @@ class SuscanWireServer:
         self._srv.bind((host, port))
         self._srv.listen(4)
         self.address = self._srv.getsockname()
-        self._clients: list[socket.socket] = []
+        # per-connection send locks: the pump thread broadcasts MESSAGE
+        # PDUs while each control thread answers PONG/error PDUs on the
+        # SAME socket — unsynchronized sendall calls can interleave
+        # mid-PDU and corrupt the framing
+        self._clients: dict[socket.socket, threading.Lock] = {}
         self._lock = threading.Lock()
         self._stop = threading.Event()
         threading.Thread(target=self._accept_loop, daemon=True).start()
@@ -380,8 +396,14 @@ class SuscanWireServer:
                            auth_required), self.spec))
             if auth_required:
                 ct, fields = decode_call(read_pdu(conn, self.spec))
-                ok = (ct == CallType.AUTH and fields[0] == self.user
-                      and fields[1] == auth_token(salt, self.password))
+                ok = (ct == CallType.AUTH and len(fields) >= 2
+                      and isinstance(fields[0], str)
+                      and isinstance(fields[1], bytes)
+                      and hmac.compare_digest(
+                          fields[1],
+                          auth_token(salt, self.password))
+                      and hmac.compare_digest(
+                          fields[0].encode(), self.user.encode()))
                 if not ok:
                     conn.sendall(write_pdu(
                         encode_call(CallType.AUTH_REJECTED,
@@ -407,8 +429,18 @@ class SuscanWireServer:
             return
         conn.settimeout(0.25)
         with self._lock:
-            self._clients.append(conn)
+            self._clients[conn] = threading.Lock()
         self._control_loop(conn)
+
+    def _send(self, conn: socket.socket, pdu: bytes) -> None:
+        """Serialized send: one PDU at a time per connection."""
+        with self._lock:
+            slock = self._clients.get(conn)
+        if slock is None:             # pre-registration (handshake)
+            conn.sendall(pdu)
+            return
+        with slock:
+            conn.sendall(pdu)
 
     # -- message pump -------------------------------------------------------
     def _pump_loop(self) -> None:
@@ -421,14 +453,13 @@ class SuscanWireServer:
                 clients = list(self._clients)
             for c in clients:
                 try:
-                    c.sendall(pdu)
+                    self._send(c, pdu)
                 except OSError:
                     self._drop(c)
 
     def _drop(self, conn: socket.socket) -> None:
         with self._lock:
-            if conn in self._clients:
-                self._clients.remove(conn)
+            self._clients.pop(conn, None)
         try:
             conn.close()
         except OSError:
@@ -449,8 +480,9 @@ class SuscanWireServer:
                 self._dispatch(conn, ct, fields)
             except Exception as e:  # noqa: BLE001 — report, keep serving
                 try:
-                    conn.sendall(write_pdu(encode_message(StatusMessage(
-                        code=-10, message=str(e))), self.spec))
+                    self._send(conn, write_pdu(encode_message(
+                        StatusMessage(code=-10, message=str(e))),
+                        self.spec))
                 except OSError:
                     self._drop(conn)
                     return
@@ -459,14 +491,14 @@ class SuscanWireServer:
                   f: list[Any]) -> None:
         need = CALL_PERMISSIONS.get(ct, 0)
         if need and not (self.permissions & need) == need:
-            conn.sendall(write_pdu(encode_message(StatusMessage(
+            self._send(conn, write_pdu(encode_message(StatusMessage(
                 code=-11, message=f"permission denied: {ct.name}")),
                 self.spec))
             return
         an = self.analyzer
         if ct == CallType.PING:
-            conn.sendall(write_pdu(encode_call(CallType.PONG, *f),
-                                   self.spec))
+            self._send(conn, write_pdu(encode_call(CallType.PONG, *f),
+                                       self.spec))
         elif ct == CallType.SET_FREQUENCY:
             an.set_frequency(f[0], f[1])
         elif ct == CallType.SET_GAIN:
@@ -479,6 +511,8 @@ class SuscanWireServer:
             an.set_ppm(f[0])
         elif ct == CallType.SET_DC_REMOVE:
             an.set_dc_remove(f[0])
+        elif ct == CallType.SET_IQ_REVERSE:
+            an.set_iq_reverse(f[0])
         elif ct == CallType.SET_AGC:
             an.set_agc(f[0])
         elif ct == CallType.SEEK:
@@ -510,6 +544,8 @@ class SuscanWireServer:
             an.set_inspector_freq(f[0], f[1], f[2])
         elif ct == CallType.SET_INSPECTOR_BANDWIDTH:
             an.set_inspector_bandwidth(f[0], f[1], f[2])
+        elif ct == CallType.SET_INSPECTOR_WATERMARK:
+            an.set_inspector_watermark(f[0], f[1], f[2])
         elif ct == CallType.SET_INSPECTOR_ESTIMATOR:
             an.set_estimator(f[0], f[1], f[2])
         elif ct == CallType.SET_INSPECTOR_SPECTRUM:
@@ -526,7 +562,7 @@ class SuscanWireServer:
         except OSError:
             pass
         with self._lock:
-            for c in self._clients:
+            for c in list(self._clients):
                 try:
                     c.close()
                 except OSError:
@@ -633,6 +669,9 @@ class SuscanWireClient:
     def set_dc_remove(self, enabled: bool) -> None:
         self._send(CallType.SET_DC_REMOVE, bool(enabled))
 
+    def set_iq_reverse(self, enabled: bool) -> None:
+        self._send(CallType.SET_IQ_REVERSE, bool(enabled))
+
     def set_agc(self, enabled: bool) -> None:
         self._send(CallType.SET_AGC, bool(enabled))
 
@@ -691,6 +730,11 @@ class SuscanWireClient:
                                 request_id: int = 0) -> None:
         self._send(CallType.SET_INSPECTOR_BANDWIDTH, int(handle),
                    float(bw), int(request_id))
+
+    def set_inspector_watermark(self, handle: int, watermark: int,
+                                request_id: int = 0) -> None:
+        self._send(CallType.SET_INSPECTOR_WATERMARK, int(handle),
+                   int(watermark), int(request_id))
 
     def set_estimator(self, handle: int, estimator: str,
                       enabled: bool) -> None:

@@ -242,3 +242,42 @@ def test_set_hop_range():
     an.set_hop_range(5e6, 1e6)  # invalid → status error, range kept
     msgs = drain(an, {MessageKind.STATUS})
     assert msgs and msgs[0].code == -3
+
+
+def test_inspector_watermark_batches_samples():
+    """setInspectorWatermark semantics (reference Suscan/Analyzer.cpp:
+    497-507): SamplesMessages are held until the watermark fills; the
+    batched message carries exactly the samples the per-block messages
+    would have, concatenated, and close() flushes the remainder."""
+    an = Analyzer(profile=tone_profile(), params=small_params())
+    h = an.open_inspector("audio", Channel(fc=100e3, bw=20e3))
+    an.step()
+    base = [m for m in drain(an, {MessageKind.SAMPLES})
+            if m.handle == h]
+    assert base and len(base[-1].samples) > 0
+    per_block = len(base[-1].samples)
+
+    wm = int(per_block * 2.5)        # needs 3 blocks to fill
+    an.set_inspector_watermark(h, wm, request_id=9)
+    acks = [m for m in drain(an, {MessageKind.INSPECTOR})
+            if m.inspector_kind == InspectorMessageKind.SET_WATERMARK]
+    assert acks and acks[0].request_id == 9
+
+    an.step()
+    an.step()
+    assert not [m for m in drain(an, {MessageKind.SAMPLES})
+                if m.handle == h]      # below watermark: held
+    an.step()
+    got = [m for m in drain(an, {MessageKind.SAMPLES})
+           if m.handle == h]
+    assert len(got) == 1
+    # resampler block lengths wobble by ±1 sample
+    assert abs(len(got[0].samples) - 3 * per_block) <= 3
+    assert len(got[0].samples) >= wm
+
+    an.step()                          # one buffered block remains
+    an.close_inspector(h)              # close flushes it
+    got = [m for m in drain(an, {MessageKind.SAMPLES})
+           if m.handle == h]
+    assert len(got) == 1
+    assert abs(len(got[0].samples) - per_block) <= 1

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
+import threading
 import time
 import zlib
 
@@ -354,6 +355,112 @@ class TestLiveWire:
             assert an.profile.antenna == "RX2"
             assert an.profile.ppm == 1.5
             assert an.profile.dc_remove and an.profile.agc
+            cl.close()
+        finally:
+            srv.close()
+            an.halt()
+
+
+class TestRound4Fixes:
+    """ADVICE r3 fixes: inflate bomb guard, send serialization,
+    SET_IQ_REVERSE dispatch, watermark call."""
+
+    @staticmethod
+    def _stub_sock(data: bytes):
+        class _Stub:
+            def __init__(self, raw):
+                self._raw = raw
+                self._pos = 0
+
+            def recv(self, n):
+                chunk = self._raw[self._pos:self._pos + n]
+                self._pos += len(chunk)
+                return chunk
+
+        return _Stub(data)
+
+    def test_deflate_bomb_rejected(self):
+        from sigdigger_tpu.io.suscan_wire import SPEC, read_pdu
+
+        # 256 MB of zeros deflates to ~256 KB — passes the size check
+        # but must be rejected at inflate time
+        bomb = zlib.compress(b"\x00" * (SPEC.max_pdu_size * 4), 9)
+        assert len(bomb) < SPEC.max_pdu_size
+        sock = self._stub_sock(struct.pack(
+            ">II", SPEC.pdu_magic_compressed, len(bomb)) + bomb)
+        with pytest.raises(ConnectionError, match="oversized"):
+            read_pdu(sock)
+
+    def test_truncated_deflate_rejected(self):
+        from sigdigger_tpu.io.suscan_wire import SPEC, read_pdu
+
+        z = zlib.compress(b"hello world" * 100)[:-4]
+        sock = self._stub_sock(struct.pack(
+            ">II", SPEC.pdu_magic_compressed, len(z)) + z)
+        with pytest.raises(ConnectionError):
+            read_pdu(sock)
+
+    def test_iq_reverse_and_watermark_calls(self):
+        an = _make_analyzer()
+        srv = SuscanWireServer(an)
+        try:
+            cl = SuscanWireClient("127.0.0.1", srv.address[1])
+            cl.set_iq_reverse(True)
+            deadline = time.time() + 5.0
+            while time.time() < deadline and not an.profile.iq_reverse:
+                time.sleep(0.05)
+            assert an.profile.iq_reverse
+
+            h = an.open_inspector("audio", Channel(fc=8e3, bw=4e3))
+            cl.set_inspector_watermark(h, 9999, request_id=5)
+            deadline = time.time() + 5.0
+            while (time.time() < deadline
+                   and an._inspectors[h].watermark != 9999):
+                time.sleep(0.05)
+            assert an._inspectors[h].watermark == 9999
+            ack = None
+            deadline = time.time() + 5.0
+            while time.time() < deadline and ack is None:
+                m = cl.read(timeout=0.5)
+                if (m is not None and m.kind == MessageKind.INSPECTOR
+                        and m.inspector_kind ==
+                        InspectorMessageKind.SET_WATERMARK):
+                    ack = m
+            assert ack is not None and ack.request_id == 5
+            cl.close()
+        finally:
+            srv.close()
+            an.halt()
+
+    def test_concurrent_ping_and_broadcast_framing(self):
+        """PING floods while PSD PDUs broadcast: framing must survive
+        (the r3 advisor found unsynchronized sendall interleaving)."""
+        an = _make_analyzer()
+        srv = SuscanWireServer(an)
+        try:
+            cl = SuscanWireClient("127.0.0.1", srv.address[1])
+            an.start()
+            stop = threading.Event()
+
+            def pinger():
+                i = 0
+                while not stop.is_set():
+                    cl._send(CallType.PING, i)
+                    i += 1
+                    time.sleep(0.001)
+
+            t = threading.Thread(target=pinger, daemon=True)
+            t.start()
+            n_msgs = 0
+            deadline = time.time() + 6.0
+            while time.time() < deadline and n_msgs < 40:
+                m = cl.read(timeout=0.5)
+                if m is not None:
+                    n_msgs += 1
+            stop.set()
+            t.join(timeout=2.0)
+            # the link must still be alive and framed
+            assert n_msgs >= 40
             cl.close()
         finally:
             srv.close()
