@@ -143,6 +143,7 @@ class _KernelSlotExtra:
         self.pw_cnt = 0
         self.offset = 0.0           # afc.offset / ask.offset (Hz)
         self.bucket = None          # _Bucket hosting this slot
+        self.agc_ema: float | None = None  # digital drain AGC power EMA
 
 
 # config keys each inspector class honors on the kernel path; a set of
@@ -151,19 +152,25 @@ class _KernelSlotExtra:
 _HONORED_KEYS: dict[str, set[str]] = {
     "audio": {"audio.cutoff", "audio.volume", "audio.sample-rate",
               "audio.demodulator", "audio.squelch",
-              "audio.squelch-level", "agc.enabled"},
+              "audio.squelch-level", "agc.enabled", "agc.gain",
+              "agc.ts"},
     "psk": {"afc.bits-per-symbol", "afc.costas-order", "afc.loop-bw",
             "afc.offset", "mf.type", "mf.roll-off", "clock.baud",
             "clock.gain", "clock.phase", "clock.running", "clock.type",
-            "equalizer.type", "equalizer.rate", "equalizer.locked"},
+            "equalizer.type", "equalizer.rate", "equalizer.locked",
+            "agc.enabled", "agc.gain", "agc.ts"},
     "fsk": {"fsk.bits-per-symbol", "fsk.phase", "fsk.quad-demod",
             "mf.type", "mf.roll-off", "clock.baud", "clock.gain",
-            "clock.phase", "clock.running", "clock.type"},
+            "clock.phase", "clock.running", "clock.type",
+            # the fsk discriminator is amplitude-invariant: the gain-
+            # control contract is honored trivially (as on the CPU
+            # path, where input AGC cannot change the quad output)
+            "agc.enabled", "agc.gain", "agc.ts"},
     "ask": {"ask.bits-per-symbol", "ask.channel", "ask.loop-bw",
             "ask.offset", "ask.use-pll", "mf.type", "mf.roll-off",
             "clock.baud", "clock.gain", "clock.phase", "clock.running",
-            "clock.type"},
-    "raw": {"agc.enabled", "agc.gain"},
+            "clock.type", "agc.enabled", "agc.gain", "agc.ts"},
+    "raw": {"agc.enabled", "agc.gain", "agc.ts"},
     "power": {"power.integrate-samples"},
 }
 
@@ -500,10 +507,17 @@ class KernelAnalyzer(Analyzer):
             bucket.audio.configure_channel(
                 ks.idx, f0=slot.lo, bw=slot.bandwidth / 2.0,
                 mode=int(c["audio.demodulator"]), cutoff=cutoff,
-                volume=float(c["audio.volume"]),
+                # manual agc.gain applies when AGC is off (reference
+                # GainControl semantics), folded into the volume row
+                volume=float(c["audio.volume"]) * (
+                    1.0 if bool(c["agc.enabled"])
+                    else float(c["agc.gain"])),
                 squelch=bool(c["audio.squelch"]),
                 squelch_level=float(c["audio.squelch-level"]),
-                agc=bool(c["agc.enabled"]), reset_state=reset_state)
+                agc=bool(c["agc.enabled"]),
+                agc_ts=(float(c["agc.ts"])
+                        if bool(c["agc.enabled"]) else None),
+                reset_state=reset_state)
             target = float(c["audio.sample-rate"])
             ks.resampler = (_HostResampler(bucket.audio_rate, target)
                             if abs(target - bucket.audio_rate) > 1e-6
@@ -527,12 +541,17 @@ class KernelAnalyzer(Analyzer):
                 kw.update(pll=bool(c["ask.use-pll"]))
             else:                                # fsk
                 order = 2
-                loop_bw = 0.01
+                loop_bw = None    # derived from the baud rate below
                 ks.offset = 0.0
                 kw.update(quad_demod=bool(c["fsk.quad-demod"]),
                           fsk_phase=float(c["fsk.phase"]))
             baud = max(float(c["clock.baud"]), 1e-3)
             sps = max(2.0, bucket.channel_rate / baud)
+            if loop_bw is None:
+                # the fsk contract exposes no loop key (reference
+                # InspectorCtl/FskControl.cpp); size the coherent-path
+                # PLL at 5% of the symbol rate instead of a hardcode
+                loop_bw = 0.05 / sps
             bucket.rec.configure_channel(
                 ks.idx, kind=_DIGITAL[name], sps=sps, order=order,
                 loop_bw=loop_bw,
@@ -772,6 +791,30 @@ class KernelAnalyzer(Analyzer):
                         else (y_re, y_im))
         return h
 
+    def _digital_gain(self, ks: _KernelSlotExtra,
+                      sym: np.ndarray) -> float:
+        """Gain-control contract for the drained digital stream
+        (reference InspectorCtl/GainControl.cpp): manual ``agc.gain``
+        when AGC is off; when on, a power-EMA normalizer whose time
+        constant is ``agc.ts`` symbol periods (the CPU inspectors'
+        tau = ts·sps, inspectors/digital.py)."""
+        c = ks.config
+        if not bool(c["agc.enabled"]):
+            ks.agc_ema = None
+            return float(c["agc.gain"])
+        if not len(sym):
+            return 1.0
+        p = float(np.mean(np.abs(sym) ** 2))
+        baud = max(float(c["clock.baud"]), 1e-3)
+        sps = max(2.0, ks.bucket.channel_rate / baud)
+        tau = max(float(c["agc.ts"]) * sps, 1.0)
+        alpha = 1.0 - np.exp(-len(sym) / tau)
+        if ks.agc_ema is None:
+            ks.agc_ema = p
+        else:
+            ks.agc_ema += alpha * (p - ks.agc_ema)
+        return 1.0 / np.sqrt(max(ks.agc_ema, 1e-12))
+
     def _get_packer(self, bucket: _Bucket, any_audio: bool,
                     any_digital: bool, need_raw: bool):
         from sigdigger_tpu.kernels.drainpack import (
@@ -865,8 +908,20 @@ class KernelAnalyzer(Analyzer):
                 msgs.append((slot, aud, extras, raw_col))
             elif name == "raw":
                 if bool(c["agc.enabled"]):
-                    g = 1.0 / np.sqrt(max(float(power[ks.idx]), 1e-9))
+                    # power-EMA follower honoring agc.ts (the block
+                    # power crossed in the status drain seeds it)
+                    p = max(float(power[ks.idx]), 1e-12)
+                    # raw agc.ts is in channel samples (CPU path
+                    # inspectors/simple.py: AGCParams(tau=agc.ts))
+                    tau = max(float(c["agc.ts"]), 1.0)
+                    alpha = 1.0 - np.exp(-len(raw_col) / tau)
+                    if ks.agc_ema is None:
+                        ks.agc_ema = p
+                    else:
+                        ks.agc_ema += alpha * (p - ks.agc_ema)
+                    g = 1.0 / np.sqrt(max(ks.agc_ema, 1e-12))
                 else:
+                    ks.agc_ema = None
                     g = float(c["agc.gain"])
                 msgs.append((slot, raw_col * np.float32(g), {}, raw_col))
             elif name == "power":
@@ -887,6 +942,8 @@ class KernelAnalyzer(Analyzer):
             else:                              # psk / fsk / ask
                 sym = soft[:, idx]
                 st = strobe[:, idx]
+                if name != "fsk":              # fsk is amp-invariant
+                    sym = sym * np.float32(self._digital_gain(ks, sym))
                 if name == "psk":
                     bps = max(1, int(c["afc.bits-per-symbol"]))
                     ids = _decide_phase(sym, bps)

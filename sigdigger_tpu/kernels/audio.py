@@ -169,13 +169,13 @@ def _audio_kernel(xw_re, xw_im, h_re, h_im, theta, m_ramp, ia_ramp, phi0,
                   phs0, omega_a, prev_re, prev_im, ftail1_in, ftail2_in,
                   atail1_in, atail2_in, sq_in, dc_in,
                   w_fm, w_am, w_re1, w_ssb, agc_w, vol, sq_w, sq_level,
-                  taps2, bt, tdc, dcpow,
+                  sqa, taps2, bt, tdc, dcpow,
                   audio_ref, last_re_ref, last_im_ref, ftail1_out_ref,
                   ftail2_out_ref, atail1_out_ref, atail2_out_ref,
                   sq_out_ref, dc_out_ref, pow_out_ref,
                   scr_prev, scr_f1, scr_f2, scr_a1, scr_a2, scr_st,
                   *, mt: int, ka: int, ka2: int, mta: int, m_tiles: int,
-                  quad_gain: float, sq_alpha: float, ssb: bool,
+                  quad_gain: float, ssb: bool,
                   in_gain: float = 1.0):
     mi = pl.program_id(1)
 
@@ -213,9 +213,10 @@ def _audio_kernel(xw_re, xw_im, h_re, h_im, theta, m_ramp, ia_ramp, phi0,
         scr_st[1:2, :] = dc_in[:]
         scr_st[2:3, :] = jnp.zeros_like(sq_in[:])
 
-    # channel power EMA (squelch + block AGC source)
+    # channel power EMA (squelch + block AGC source); per-channel
+    # weight row honors agc.ts (reference AudioProcessor.cpp:265)
     p_tile = jnp.mean(rr * rr + ri * ri, axis=0, keepdims=True)
-    sq_ema = (1.0 - sq_alpha) * scr_st[0:1, :] + sq_alpha * p_tile
+    sq_ema = (1.0 - sqa[:]) * scr_st[0:1, :] + sqa[:] * p_tile
     scr_st[0:1, :] = sq_ema
     scr_st[2:3, :] = scr_st[2:3, :] + p_tile
 
@@ -328,6 +329,7 @@ class AudioBank:
         self._squelch = np.zeros(c, bool)
         self._sq_level = np.zeros(c, np.float64)
         self._agc = np.zeros(c, bool)
+        self._agc_ts = np.zeros(c, np.float64)   # ms; 0 = default EMA
 
         # static constants
         self._m_ramp = jnp.asarray(
@@ -377,6 +379,7 @@ class AudioBank:
                           squelch: bool | None = None,
                           squelch_level: float | None = None,
                           agc: bool | None = None,
+                          agc_ts: float | None = None,
                           reset_state: bool = False) -> None:
         """Update one slot; ``bw`` is the channel half-bandwidth (the
         prototype lowpass edge), ``cutoff`` the audio cutoff (also the
@@ -402,6 +405,11 @@ class AudioBank:
             self._sq_level[i] = float(squelch_level)
         if agc is not None:
             self._agc[i] = bool(agc)
+        if agc_ts is not None:
+            # agc.ts in milliseconds (reference AudioProcessor.cpp:265;
+            # CPU path inspectors/audio.py tau = ts·rate/1000) sets the
+            # power-follower time constant; 0 restores the default
+            self._agc_ts[i] = max(0.0, float(agc_ts))
         self._rebuild_columns(np.asarray([i]))
         self._upload_params()
         if reset_state:
@@ -495,7 +503,20 @@ class AudioBank:
                 self._squelch.astype(np.float32)[None, :]),
             "sq_level": self._dev(
                 self._sq_level.astype(np.float32)[None, :]),
+            "sqa": self._dev(self._sq_alpha_row()[None, :]),
         }
+
+    def _sq_alpha_row(self) -> np.ndarray:
+        """Per-channel power-EMA weight per m_tile: agc.ts (ms) maps to
+        α = 1 − exp(−tile/τ) with τ = ts·channel_rate/1000 samples;
+        slots with no ts set keep the default cfg.sq_alpha."""
+        cfg = self.cfg
+        tau = self._agc_ts * 1e-3 * cfg.channel_rate
+        with np.errstate(divide="ignore", over="ignore"):
+            alpha = 1.0 - np.exp(-cfg.m_tile / np.maximum(tau, 1e-9))
+        return np.where(self._agc_ts > 0.0,
+                        np.clip(alpha, 1e-4, 1.0),
+                        cfg.sq_alpha).astype(np.float32)
 
     # ------------------------------------------------------------------
     def _build(self, cfg: AudioBankConfig | None = None,
@@ -553,6 +574,7 @@ class AudioBank:
                 row(per_ch), row(per_ch),                   # w_re1, w_ssb
                 row(per_ch), row(per_ch),                   # agc_w, vol
                 row(per_ch), row(per_ch),                   # sq_w, sq_level
+                row(per_ch),                                # sqa
                 pl.BlockSpec((ka2, ct), lambda ci, mi: (0, ci),
                              memory_space=pltpu.VMEM),      # taps2
                 pl.BlockSpec((mta, mt + ka - 1), lambda ci, mi: (0, 0),
@@ -591,7 +613,7 @@ class AudioBank:
         call = pl.pallas_call(
             partial(_audio_kernel, mt=mt, ka=ka, ka2=ka2, mta=mta,
                     m_tiles=m_tiles, quad_gain=cfg.quad_gain,
-                    sq_alpha=cfg.sq_alpha, ssb=cfg.enable_ssb,
+                    ssb=cfg.enable_ssb,
                     in_gain=1.0 / 4096.0),
             grid_spec=grid_spec,
             out_shape=[
@@ -669,6 +691,7 @@ class AudioBank:
             self.consts["w_re1"], self.consts["w_ssb"],
             self.consts["agc_w"], self.consts["vol"],
             self.consts["sq_w"], self.consts["sq_level"],
+            self.consts["sqa"],
             self.consts["taps2"], self._bt, self._tdc, self._dcpow,
         )
         (audio, last_re, last_im, ftail1, ftail2, atail1, atail2, sq,
@@ -707,6 +730,7 @@ class AudioBank:
             self.consts["w_re1"], self.consts["w_ssb"],
             self.consts["agc_w"], self.consts["vol"],
             self.consts["sq_w"], self.consts["sq_level"],
+            self.consts["sqa"],
             self.consts["taps2"], self._bt, self._tdc, self._dcpow,
         )
 

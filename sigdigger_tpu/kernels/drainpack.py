@@ -7,11 +7,21 @@ power + digital + raw planes paid 4-5 round trips.  This kernel packs
 EVERY per-block drain payload into ONE scaled-int16 buffer:
 
     audio tiles     : audio columns        audio[Ma, C] @ S  × 4096
-    status tile     : row 0 squelch EMA    sq[1, C] @ S      × 256
-                      row 1 block power    pow[1, C] @ S     × 256
+    status tile     : rows 0-2 squelch EMA sq[1, C] @ S  (3-lane residual)
+                      rows 3-5 block power pow[1, C] @ S (3-lane residual)
     digital tiles   : soft re/im           soft[M, C] @ S    × 8192
                       and strobe           strobe[M, C] @ S  × 16384
     raw tiles       : raw channel re/im    y[M, C] @ S       × 4096
+
+    The status rows are NOT plain-quantized: channel powers after
+    channelization routinely sit below 1/512 of full scale, where a
+    single ×256 int16 lane rounds to zero (r3 advisor finding — raw
+    AGC would then blow up to 1/sqrt(eps) and squelch thresholds under
+    1/256 were meaningless).  Each status value v is instead split
+    across three int16 lanes, h = floor(v·256), m = floor((v·256−h)·2¹⁵),
+    l = floor-of-the-next-residual, recovering the full f32 value to
+    ~4e-12 absolute (beyond f32's own mantissa for these magnitudes)
+    with pure VPU arithmetic (no bitcast needed on this backend).
 
 ``S`` is the same device-resident one-hot active-column selection used
 by kernels/compact.py (slot lifecycle stays recompile-free).  One
@@ -73,6 +83,9 @@ class DrainPackerConfig:
                 self, "m_tile", _largest_divisor(self.audio_rows, 1024))
         assert self.audio_rows % self.m_tile == 0
         assert self.n_rows % self.m_tile == 0
+        # the status tile carries 2 values × 3 residual lanes
+        assert self.m_tile >= 6, (
+            f"m_tile {self.m_tile} too small for the 6-row status tile")
 
     def sections(self) -> list[tuple[str, int, int]]:
         """[(name, first tile, tile count)] in pack order."""
@@ -113,18 +126,33 @@ def _pack_kernel(*refs, plan, n_in: int):
         v = jnp.clip(acc * jnp.float32(scale), -32768.0, 32767.0)
         return v.astype(jnp.int16)
 
+    def residual3(v):
+        """Split v·S_SCALE across (floor, 2×15-bit residual) lanes —
+        full f32 precision for the status rows (see module docstring)."""
+        v = jnp.clip(v * jnp.float32(S_SCALE), -32768.0, 32766.0)
+        h = jnp.floor(v)
+        r1 = (v - h) * jnp.float32(32768.0)
+        m = jnp.floor(r1)
+        lo = jnp.floor((r1 - m) * jnp.float32(32768.0))
+        return (h.astype(jnp.int16), m.astype(jnp.int16),
+                lo.astype(jnp.int16))
+
     i = 0
     for name, t0, cnt in plan:
         if name == "status":
             @pl.when(t == t0)
             def _():
                 out[:] = jnp.zeros_like(out)
-                out[0:1, :] = q(jnp.dot(
-                    sq[:], s[:],
-                    preferred_element_type=jnp.float32), S_SCALE)
-                out[1:2, :] = q(jnp.dot(
-                    pw[:], s[:],
-                    preferred_element_type=jnp.float32), S_SCALE)
+                sq_h, sq_m, sq_l = residual3(jnp.dot(
+                    sq[:], s[:], preferred_element_type=jnp.float32))
+                pw_h, pw_m, pw_l = residual3(jnp.dot(
+                    pw[:], s[:], preferred_element_type=jnp.float32))
+                out[0:1, :] = sq_h
+                out[1:2, :] = sq_m
+                out[2:3, :] = sq_l
+                out[3:4, :] = pw_h
+                out[4:5, :] = pw_m
+                out[5:6, :] = pw_l
             continue
         x = refs[i]
         i += 1
@@ -238,9 +266,15 @@ class DrainPacker:
         if cfg.has_audio:
             out["audio"] = sect("audio").astype(np.float32) * (
                 1.0 / A_SCALE)
-        st = sect("status")
-        out["sq"] = st[0].astype(np.float32) * (1.0 / S_SCALE)
-        out["power"] = st[1].astype(np.float32) * (1.0 / S_SCALE)
+        st = sect("status").astype(np.float64)
+
+        def dec3(r0):
+            return ((st[r0] + st[r0 + 1] * (1.0 / 32768.0)
+                     + st[r0 + 2] * (1.0 / (32768.0 * 32768.0)))
+                    * (1.0 / S_SCALE)).astype(np.float32)
+
+        out["sq"] = dec3(0)
+        out["power"] = dec3(3)
         if cfg.has_digital:
             sr = sect("d_sr").astype(np.float32)
             si = sect("d_si").astype(np.float32)

@@ -102,6 +102,7 @@ def shard_audio_bank(bank, mesh: Mesh, axis: str = "ch"):
         ch, ch,                     # sq, dc
         ch, ch, ch, ch,             # w_fm, w_am, w_re1, w_ssb
         ch, ch, ch, ch,             # agc_w, vol, sq_w, sq_level
+        ch,                         # sqa
         ch,                         # taps2
         rep, rep, rep,              # bt, tdc, dcpow
     )

@@ -234,7 +234,14 @@ def test_raw_and_power_keys_change_output():
 # unhonored keys are acknowledged with a LOUD warning, never silently
 # ---------------------------------------------------------------------------
 
-def test_unhonored_keys_warn():
+def test_unhonored_keys_warn(monkeypatch):
+    # every contract key is honored on the kernel path now (r4); carve
+    # one out to prove the loud-warning mechanism still fires
+    from sigdigger_tpu.analyzer import kernel_engine as ke
+
+    monkeypatch.setitem(
+        ke._HONORED_KEYS, "audio",
+        ke._HONORED_KEYS["audio"] - {"agc.ts"})
     an = make_engine([Emitter(freq=25e3, amplitude=0.9, fm_rate=300.0,
                               fm_dev=2500.0)])
     h = an.open_inspector("audio", Channel(fc=25e3, bw=10e3),
@@ -246,6 +253,29 @@ def test_unhonored_keys_warn():
     # honored keys do NOT warn
     an.set_inspector_config(h, {"audio.volume": 0.5})
     assert not Logger.instance().drain()
+
+
+def test_full_contract_honored_no_warnings():
+    """r3 VERDICT item 7: pushing EVERY schema key of all six classes
+    must produce an empty warning list on the kernel path."""
+    from sigdigger_tpu.config import INSPECTOR_SCHEMAS
+
+    an = make_engine([Emitter(freq=25e3, amplitude=0.9, fm_rate=300.0,
+                              fm_dev=2500.0)])
+    chans = {"audio": Channel(fc=25e3, bw=10e3),
+             "psk": Channel(fc=-30e3, bw=6e3),
+             "fsk": Channel(fc=-50e3, bw=6e3),
+             "ask": Channel(fc=40e3, bw=6e3),
+             "raw": Channel(fc=10e3, bw=8e3),
+             "power": Channel(fc=10e3, bw=8e3)}
+    Logger.instance().drain()
+    for name, ch in chans.items():
+        h = an.open_inspector(name, ch)
+        defaults = {f.name: f.default for f in INSPECTOR_SCHEMAS[name]}
+        an.set_inspector_config(h, defaults)
+    warns = [r.message for r in Logger.instance().drain()
+             if "does not honor" in r.message]
+    assert warns == [], warns
 
 
 # ---------------------------------------------------------------------------

@@ -294,7 +294,10 @@ def test_compact_drain_equals_full_drain():
                     "audio.sample-rate": an.audio_rate})
         h_p = an.open_inspector(
             "psk", Channel(fc=-50e3, bw=6e3),
-            config={"afc.bits-per-symbol": 2, "clock.baud": 2000.0})
+            config={"afc.bits-per-symbol": 2, "clock.baud": 2000.0,
+                    # drain AGC would amplify the int16 pack's
+                    # quantization noise past the documented steps
+                    "agc.enabled": False, "agc.gain": 1.0})
         h_w = an.open_inspector("power", Channel(fc=60e3, bw=12e3))
         an.poll()
         out = {h_a: [], h_p: [], h_w: []}
@@ -438,3 +441,64 @@ def test_engine_i16_upload_equivalence():
     err = (a32 - a16)[64:]
     sig = np.mean(a32[64:] ** 2)
     assert 10 * np.log10(sig / max(np.mean(err ** 2), 1e-30)) > 40.0
+
+
+def test_drainpack_status_precision_small_powers():
+    """r3 advisor (high): the packed drain quantized power/squelch at
+    S_SCALE=256, so channel powers below ~1/512 rounded to zero and raw
+    AGC blew up to 1/sqrt(eps).  The 3-lane residual encoding must
+    round-trip tiny powers at full f32-like precision."""
+    from sigdigger_tpu.kernels.drainpack import (
+        DrainPacker,
+        DrainPackerConfig,
+    )
+
+    c, w = 16, 8
+    cfg = DrainPackerConfig(n_rows=64, audio_rows=8, n_channels=c,
+                            width=w, has_audio=True, has_digital=False,
+                            has_raw=True)
+    pk = DrainPacker(cfg, interpret=True)
+    pk.set_mapping(list(range(w)))
+    rng = np.random.default_rng(0)
+    audio = rng.standard_normal((8, c)).astype(np.float32) * 0.1
+    y_re = rng.standard_normal((64, c)).astype(np.float32) * 0.01
+    y_im = rng.standard_normal((64, c)).astype(np.float32) * 0.01
+    # powers spanning 1e-1 .. 1e-9 — all far below the old 1/256 step
+    pw = np.logspace(-1, -9, c).astype(np.float32)[None, :]
+    sq = (pw * 0.5).astype(np.float32)
+    import jax.numpy as jnp
+
+    sec = pk.fetch(pk.dispatch(audio=jnp.asarray(audio),
+                               sq=jnp.asarray(sq), pw=jnp.asarray(pw),
+                               raw=(jnp.asarray(y_re),
+                                    jnp.asarray(y_im))))
+    np.testing.assert_allclose(sec["power"], pw[0, :w], rtol=1e-5,
+                               atol=4e-12)
+    np.testing.assert_allclose(sec["sq"], sq[0, :w], rtol=1e-5,
+                               atol=4e-12)
+    # AGC gain derived from the drained power must match the true gain
+    g_true = 1.0 / np.sqrt(pw[0, :w])
+    g_got = 1.0 / np.sqrt(np.maximum(sec["power"], 1e-18))
+    np.testing.assert_allclose(g_got, g_true, rtol=1e-4)
+
+
+def test_raw_agc_on_weak_channel_via_packed_drain():
+    """End-to-end guard for the same finding: a weak (-40 dBFS) raw
+    channel with agc.enabled=True must come out ~unit-RMS through the
+    default packed-drain path, not saturated by a bogus 1/sqrt(eps)."""
+    an = make_engine(
+        [Emitter(freq=60e3, amplitude=0.01, fm_rate=300.0,
+                 fm_dev=2000.0)],
+        n_slots=128, compact_cols=8)
+    h = an.open_inspector("raw", Channel(fc=60e3, bw=12e3),
+                          config={"agc.enabled": True})
+    an.poll()
+    out = []
+    for _ in range(4):
+        assert an.step()
+        for m in an.poll():
+            if m.kind == MessageKind.SAMPLES and m.handle == h:
+                out.append(np.asarray(m.samples))
+    y = np.concatenate(out)[2048:]
+    rms = np.sqrt(np.mean(np.abs(y) ** 2))
+    assert 0.5 < rms < 2.0, f"AGC'd raw RMS {rms} (expected ~1)"
