@@ -80,6 +80,12 @@ _BACKENDS: dict[str, Callable[[int], GenericAudioPlayer]] = {
 }
 
 
+def available_backends() -> list[str]:
+    """Registered playback backend names ('hw' present only when a
+    real ALSA/PortAudio library loaded)."""
+    return sorted(_BACKENDS)
+
+
 def register_player(name: str,
                     ctor: Callable[[int], GenericAudioPlayer]) -> None:
     _BACKENDS[name] = ctor

@@ -296,6 +296,54 @@ def cmd_doppler(args) -> int:
     return 0
 
 
+def cmd_live(args) -> int:
+    """One command starts the live session the reference is built
+    around (reference App/Application.cpp:357-458 + main.cpp:176-249):
+    source → analyzer → wire server / REPL / audio / waterfall."""
+    from sigdigger_tpu.app import LiveSession, build_profile
+    from sigdigger_tpu.types import AnalyzerParams
+
+    prof = build_profile(args.source, rate=args.rate, freq=args.freq,
+                         loop=args.loop,
+                         throttle=(False if args.no_throttle else None))
+    params = AnalyzerParams()
+    params.window_size = args.fft
+    audio = None
+    if args.audio is not None:
+        demods = {"am": 1, "fm": 2, "usb": 3, "lsb": 4, "raw": 5}
+        audio = {"fc": args.audio, "demod": demods[args.mode],
+                 "rate": args.audio_rate, "bw": args.bw,
+                 "squelch": args.squelch is not None,
+                 "squelch_level": args.squelch or 0.0}
+        if args.audio_wav:
+            audio["wav"] = args.audio_wav
+    sess = LiveSession(
+        prof, params=params, engine=args.engine,
+        block_size=args.block_size,
+        wire_port=args.port, wire_host=args.host,
+        user=args.user, password=args.password,
+        control_port=args.control_port,
+        audio=audio, record_path=args.record,
+        waterfall_png=args.waterfall, tty=args.tty)
+    sess.start()
+    ports = []
+    if sess.wire_server is not None:
+        ports.append(f"wire={sess.wire_server.address[1]}")
+    if sess.control_server is not None:
+        ports.append(f"control={sess.control_server.address[1]}")
+    print(f"live: {prof.type} @ {prof.sample_rate} sps "
+          f"[{' '.join(ports) or 'local only'}]", file=sys.stderr)
+    try:
+        sess.run(duration=args.duration)
+    except KeyboardInterrupt:
+        pass
+    finally:
+        sess.halt()
+    print(f"halted after {sess.messages_seen} messages",
+          file=sys.stderr)
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="sigdigger-tpu",
@@ -382,6 +430,48 @@ def build_parser() -> argparse.ArgumentParser:
     po.add_argument("--duration", type=int, default=600)
     po.add_argument("--step", type=int, default=60)
     po.set_defaults(fn=cmd_doppler)
+
+    for name in ("live", "serve"):
+        pl = sub.add_parser(
+            name, help="live capture session (analyzer + wire server "
+            "+ REPL + audio + waterfall)")
+        pl.add_argument("source",
+                        help="capture file | tonegen:<hz>[,<noise_db>]"
+                        " | synth | stdin")
+        pl.add_argument("--rate", type=int)
+        pl.add_argument("--freq", type=float, default=0.0)
+        pl.add_argument("--fft", type=int, default=4096)
+        pl.add_argument("--block-size", type=int)
+        pl.add_argument("--engine",
+                        choices=["auto", "kernel", "generic"],
+                        default="auto")
+        pl.add_argument("--port", type=int,
+                        help="suscan-wire server port (0 = ephemeral)")
+        pl.add_argument("--host", default="127.0.0.1")
+        pl.add_argument("--user", default="")
+        pl.add_argument("--password", default="")
+        pl.add_argument("--control-port", type=int,
+                        help="remote-control REPL port (0 = ephemeral)")
+        pl.add_argument("--audio", type=float, metavar="FC",
+                        help="open a live audio inspector at FC Hz")
+        pl.add_argument("--mode",
+                        choices=["am", "fm", "usb", "lsb", "raw"],
+                        default="fm")
+        pl.add_argument("--bw", type=float, default=12500.0)
+        pl.add_argument("--audio-rate", type=int, default=44100)
+        pl.add_argument("--audio-wav", help="record audio to WAV")
+        pl.add_argument("--squelch", type=float, nargs="?", const=0.0,
+                        help="enable squelch (optional power level)")
+        pl.add_argument("--record", help="raw IQ recording path")
+        pl.add_argument("--waterfall", help="live waterfall PNG path")
+        pl.add_argument("--tty", action="store_true",
+                        help="ANSI waterfall rows on stdout")
+        pl.add_argument("--loop", action="store_true")
+        pl.add_argument("--no-throttle", action="store_true",
+                        help="replay files faster than wall clock")
+        pl.add_argument("--duration", type=float,
+                        help="stop after N seconds")
+        pl.set_defaults(fn=cmd_live)
     return p
 
 

@@ -1,0 +1,174 @@
+"""LiveSession — the live application (VERDICT r3 Missing #1).
+
+One command starts a live session (reference App/Application.cpp:
+357-458 capture lifecycle, main.cpp:176-249); these tests drive it
+end-to-end through the suscan-wire client exactly as a remote
+SigDigger would: stream PSD, open an audio inspector, receive samples,
+retune, and halt."""
+
+import io
+import os
+import time
+
+import numpy as np
+import pytest
+
+from sigdigger_tpu.analyzer.messages import (
+    InspectorMessageKind,
+    MessageKind,
+)
+from sigdigger_tpu.app import LiveSession, build_profile
+from sigdigger_tpu.io.suscan_wire import SuscanWireClient
+from sigdigger_tpu.types import AnalyzerParams, Channel
+
+
+def small_params():
+    p = AnalyzerParams()
+    p.window_size = 512
+    p.psd_update_interval = 0.0
+    return p
+
+
+def wait_for(cl, pred, timeout=20.0):
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        m = cl.read(timeout=0.5)
+        if m is not None and pred(m):
+            return m
+    return None
+
+
+def test_live_session_end_to_end_through_wire():
+    prof = build_profile("tonegen:8000,-50", rate=64_000,
+                        throttle=False)
+    sess = LiveSession(prof, params=small_params(), engine="generic",
+                       block_size=4096, wire_port=0, control_port=0,
+                       user="op", password="pw")
+    sess.start()
+    try:
+        assert sess.wire_server is not None
+        cl = SuscanWireClient("127.0.0.1",
+                              sess.wire_server.address[1],
+                              user="op", password="pw")
+        # PSD streams with the tone at +8 kHz
+        psd = wait_for(cl, lambda m: m.kind == MessageKind.PSD)
+        assert psd is not None
+        freqs = np.linspace(-32_000, 32_000, psd.fft_size,
+                            endpoint=False)
+        assert abs(freqs[np.argmax(psd.data)] - 8000.0) < 300.0
+
+        # open an audio inspector through the wire, get samples back
+        cl.open_inspector("audio", Channel(fc=8e3, bw=4e3),
+                          request_id=5,
+                          config={"audio.demodulator": 2,
+                                  "audio.sample-rate": 8000.0})
+        opened = wait_for(cl, lambda m: (
+            m.kind == MessageKind.INSPECTOR
+            and m.inspector_kind == InspectorMessageKind.OPEN))
+        assert opened is not None and opened.request_id == 5
+        h = opened.handle
+        got = wait_for(cl, lambda m: (m.kind == MessageKind.SAMPLES
+                                      and m.handle == h))
+        assert got is not None and len(got.samples) > 0
+
+        # retune through the wire and see the ack
+        cl.set_inspector_freq(h, -8e3, request_id=6)
+        ack = wait_for(cl, lambda m: (
+            m.kind == MessageKind.INSPECTOR
+            and m.inspector_kind == InspectorMessageKind.SET_FREQ))
+        assert ack is not None and ack.lo == -8e3
+
+        # REPL control surface drives the same analyzer
+        import socket
+
+        s = socket.create_connection(
+            ("127.0.0.1", sess.control_server.address[1]), timeout=5)
+        f = s.makefile("rw", newline="\n")
+        f.write("get frequency\n")
+        f.flush()
+        assert f.readline().strip().startswith("frequency=")
+        f.write("set frequency 145000000\n")
+        f.flush()
+        assert f.readline().strip() == "OK"
+        deadline = time.time() + 5.0
+        while time.time() < deadline and \
+                sess.analyzer.profile.freq != 145e6:
+            time.sleep(0.05)
+        assert sess.analyzer.profile.freq == 145e6
+        s.close()
+        cl.close()
+    finally:
+        sess.halt()
+    assert sess.analyzer is None
+
+
+def test_live_session_kernel_engine_audio_and_sinks(tmp_path):
+    """The kernel-engine session: audio chain → WAV sink, raw IQ
+    recording tee, waterfall PNG — the full consumer set."""
+    prof = build_profile("tonegen:30000,-40", rate=256_000,
+                        throttle=False)
+    params = AnalyzerParams()
+    params.window_size = 4096
+    params.psd_update_interval = 0.0
+    wav = str(tmp_path / "audio.wav")
+    rec = str(tmp_path / "raw.cf32")
+    png = str(tmp_path / "wf.png")
+    tty = io.StringIO()
+    sess = LiveSession(
+        prof, params=params, engine="kernel", block_size=32_768,
+        audio={"fc": 30e3, "demod": 1, "rate": 8000.0, "bw": 12e3,
+               "wav": wav, "backend": "null"},
+        record_path=rec, waterfall_png=png, waterfall_interval=0.0,
+        tty=True, tty_file=tty,
+        engine_kw={"interpret": True, "decimation": 16})
+    sess.start()
+    deadline = time.time() + 60.0
+    while time.time() < deadline and sess.messages_seen < 24:
+        time.sleep(0.1)
+    sess.halt()
+
+    # every sink produced real output
+    assert os.path.getsize(rec) > 8 * 32_768      # complex64 blocks
+    from sigdigger_tpu.io.wav import read_wav
+
+    audio, rate = read_wav(wav)
+    assert rate == 8000 and len(audio) > 0
+    assert os.path.getsize(png) > 100
+    assert "\x1b[48;5;" in tty.getvalue()
+
+
+def test_live_session_eos_and_restart(tmp_path):
+    """File replay hits EOS → session reports it; restart() relaunches
+    on the same profile (the reference RESTARTING path)."""
+    path = tmp_path / "cap_1000Hz_64000sps.cf32"
+    k = np.arange(1 << 15)
+    x = (0.5 * np.exp(2j * np.pi * 1000 * k / 64_000)).astype(
+        np.complex64)
+    x.tofile(path)
+    prof = build_profile(str(path), throttle=False)
+    sess = LiveSession(prof, params=small_params(), engine="generic",
+                       block_size=4096)
+    sess.start()
+    sess.run(duration=30.0)
+    assert sess.eos.is_set()
+    sess.restart()
+    assert sess.analyzer is not None
+    sess.run(duration=30.0)
+    assert sess.eos.is_set()
+    sess.halt()
+
+
+def test_build_profile_specs():
+    p = build_profile("tonegen:1500,-30", rate=48_000)
+    assert p.type == "tonegen" and p.tone_freq == 1500.0
+    assert p.noise_db == -30.0 and p.throttle
+    p = build_profile("synth", rate=128_000, throttle=False)
+    assert p.type == "synth" and not p.throttle
+    p = build_profile("stdin")
+    assert p.type == "stdin"
+    prof = build_profile("/nonexistent/capture_48000sps.cf32")
+    assert prof.sample_rate == 48_000
+    from sigdigger_tpu.sources import make_source
+
+    with pytest.raises(FileNotFoundError):
+        make_source(prof)

@@ -100,3 +100,20 @@ def test_cli_doppler(tmp_path, capsys):
                  "--step", "60"]) == 0
     out = capsys.readouterr().out
     assert out.count("dopp") == 3
+
+
+def test_cli_live(tmp_path, capsys):
+    """`live` starts a real session and halts after --duration
+    (reference main.cpp one-binary entry; App capture lifecycle)."""
+    wav = tmp_path / "live.wav"
+    assert main(["live", "tonegen:8000,-50", "--rate", "64000",
+                 "--fft", "512", "--engine", "generic",
+                 "--no-throttle", "--audio", "8000", "--mode", "am",
+                 "--audio-rate", "8000", "--audio-wav", str(wav),
+                 "--duration", "3"]) == 0
+    err = capsys.readouterr().err
+    assert "live: tonegen" in err and "halted after" in err
+    from sigdigger_tpu.io.wav import read_wav
+
+    audio, rate = read_wav(str(wav))
+    assert rate == 8000 and len(audio) > 0
