@@ -33,6 +33,7 @@ from sigdigger_tpu.analyzer.messages import (
     InspectorMessageKind,
     Message,
     MessageKind,
+    OrbitReport,
     PSDMessage,
     SamplesMessage,
     SourceInfoMessage,
@@ -79,6 +80,12 @@ class _InspectorSlot:
     watermark: int = 0
     wm_buf: list = field(default_factory=list)
     wm_count: int = 0
+    # Doppler correction (reference setInspectorDopplerCorrection /
+    # disableDopplerCorrection, include/Suscan/Analyzer.h:353-354):
+    # an OrbitPredictor-like object with .predict(unix_time, freq_hz)
+    orbit: Any = None
+    orbit_corr: float = 0.0       # last applied LO shift (Hz)
+    orbit_last_report: float = -1e18
 
 
 class Analyzer:
@@ -145,7 +152,11 @@ class Analyzer:
         self._blocks = 0
         self._samples_done = 0
         self._t_start = None
+        self._wall0: float | None = None   # capture-start unix time
         self._measured_rate = 0.0
+        # Doppler-corrected inspectors emit an ORBIT_REPORT at most
+        # this often (stream seconds)
+        self.orbit_report_interval = 1.0
         # baseband filters: callables fed every raw block before DSP —
         # the reference's analyzer-thread tee used for raw IQ recording
         # (reference Default/Source/SourceWidget.cpp:1174-1190)
@@ -511,6 +522,90 @@ class Analyzer:
             inspector_id=slot.inspector_id,
         ))
 
+    # ------------------------------------------------------------------
+    # Doppler correction (reference include/Suscan/Analyzer.h:353-354,
+    # suscan_analyzer_inspector_set_tle_async; applied live by the
+    # audio chain, Default/Audio/AudioProcessor.cpp:429-450)
+    # ------------------------------------------------------------------
+    def set_inspector_doppler_correction(self, handle: int, predictor,
+                                         request_id: int = 0) -> None:
+        """Track a satellite on this inspector: ``predictor`` is an
+        `orbit.OrbitPredictor` (or anything with
+        ``predict(unix_time, freq_hz) -> PassInfo``).  The engine
+        retunes the channel LO every block to follow the predicted
+        Doppler shift and emits periodic ORBIT_REPORT messages."""
+        slot = self._slot(handle, request_id)
+        if slot is None:
+            return
+        with self._lock:
+            slot.orbit = predictor
+            slot.orbit_last_report = -1e18
+        # apply immediately so the first block is already corrected
+        self._apply_doppler(slot, self._rx_time())
+
+    def disable_doppler_correction(self, handle: int,
+                                   request_id: int = 0) -> None:
+        slot = self._slot(handle, request_id)
+        if slot is None:
+            return
+        with self._lock:
+            slot.orbit = None
+            if slot.orbit_corr:
+                slot.orbit_corr = 0.0
+                self._retune_channel(slot, slot.lo)
+
+    def _retune_channel(self, slot: _InspectorSlot, f0: float) -> None:
+        """Move a slot's channel center WITHOUT changing the
+        user-visible ``slot.lo`` (Doppler tracking).  Kernel engine
+        overrides this onto the bank constants."""
+        self._channelizer.set_frequency(slot.chan_handle, f0)
+
+    def _rx_time(self) -> float:
+        """Stream-anchored unix time: capture start + stream position.
+        Replayed files evolve Doppler in stream time (the signal was
+        recorded in real time), and throttled/faster-than-real-time
+        runs stay deterministic."""
+        if self._wall0 is None:
+            self._wall0 = time.time()
+        return self._wall0 + self._samples_done / self.sample_rate
+
+    def _apply_doppler(self, slot: _InspectorSlot,
+                       rx_time: float) -> None:
+        info = slot.orbit.predict(rx_time,
+                                  self.profile.freq + slot.lo)
+        corr = float(info.doppler_hz)
+        with self._lock:
+            if slot.handle not in self._inspectors:
+                return
+            # skip sub-Hz retunes (control-rate discipline)
+            if abs(corr - slot.orbit_corr) >= 1.0:
+                slot.orbit_corr = corr
+                self._retune_channel(slot, slot.lo + corr)
+        if rx_time - slot.orbit_last_report >= \
+                self.orbit_report_interval:
+            slot.orbit_last_report = rx_time
+            self._emit(InspectorMessage(
+                inspector_kind=InspectorMessageKind.ORBIT_REPORT,
+                handle=slot.handle, inspector_id=slot.inspector_id,
+                class_name=slot.class_name, lo=slot.lo,
+                payload=OrbitReport(
+                    rx_time=rx_time,
+                    azimuth_deg=info.azimuth_deg,
+                    elevation_deg=info.elevation_deg,
+                    distance_km=info.range_km,
+                    freq_corr_hz=corr,
+                    vlos_vel_kms=info.range_rate_kms,
+                )))
+
+    def _apply_orbit_corrections(self) -> None:
+        orbiting = [s for s in self._inspectors.values()
+                    if s.orbit is not None]
+        if not orbiting:
+            return
+        rx_time = self._rx_time()
+        for slot in orbiting:
+            self._apply_doppler(slot, rx_time)
+
     def _emit_samples(self, slot: _InspectorSlot, samples, extras,
                       now: float) -> None:
         """Emit one SamplesMessage, honoring the slot watermark."""
@@ -647,6 +742,7 @@ class Analyzer:
                 self._emit_estimators(slot, raw)
             if slot.spectrum_source:
                 self._emit_inspector_spectrum(slot, raw)
+        self._apply_orbit_corrections()
         return True
 
     def _feed_spectrum(self, x: np.ndarray) -> None:

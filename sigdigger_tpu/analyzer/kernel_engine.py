@@ -610,6 +610,15 @@ class KernelAnalyzer(Analyzer):
             request_id=request_id, handle=handle, lo=freq,
         ))
 
+    def _retune_channel(self, slot, f0: float) -> None:
+        """Doppler-corrected LO move on the bank constants (same path
+        as set_inspector_freq, without touching the user-visible
+        slot.lo)."""
+        ks = self._kslots[slot.handle]
+        ks.bucket.raw.configure_channel(ks.idx, f0=f0 + ks.offset)
+        if slot.class_name == "audio":
+            ks.bucket.audio.configure_channel(ks.idx, f0=f0)
+
     def set_inspector_bandwidth(self, handle: int, bw: float,
                                 request_id: int = 0) -> None:
         slot = self._slot(handle, request_id)

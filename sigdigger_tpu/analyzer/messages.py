@@ -83,6 +83,22 @@ class InspectorMessageKind(enum.Enum):
 
 
 @dataclass
+class OrbitReport:
+    """Per-inspector satellite tracking report (reference
+    include/Suscan/Messages/InspectorMessage.h:33-77: rx_time, satpos
+    az/el, freq_corr, vlos_vel).  ``freq_corr_hz`` is the LO shift the
+    engine applied to track the Doppler-shifted carrier (positive when
+    the satellite approaches and the received frequency is high)."""
+
+    rx_time: float = 0.0            # unix seconds of the correction
+    azimuth_deg: float = 0.0
+    elevation_deg: float = 0.0
+    distance_km: float = 0.0
+    freq_corr_hz: float = 0.0
+    vlos_vel_kms: float = 0.0       # line-of-sight range rate
+
+
+@dataclass
 class InspectorMessage(Message):
     kind: MessageKind = MessageKind.INSPECTOR
     inspector_kind: InspectorMessageKind = InspectorMessageKind.OPEN

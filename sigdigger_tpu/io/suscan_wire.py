@@ -128,6 +128,11 @@ class CallType(enum.IntEnum):
     SET_INSPECTOR_SPECTRUM = 31
     PING = 32
     PONG = 33
+    # inspector Doppler correction (reference
+    # suscan_analyzer_inspector_set_tle_async, Suscan/Analyzer.cpp:
+    # 568-592: orbit present = enable, nullptr = disable)
+    SET_INSPECTOR_DOPPLER = 34
+    DISABLE_INSPECTOR_DOPPLER = 35
 
 
 # permission required per client→server call (SourceInfo.PERM_* bits;
@@ -550,6 +555,15 @@ class SuscanWireServer:
             an.set_estimator(f[0], f[1], f[2])
         elif ct == CallType.SET_INSPECTOR_SPECTRUM:
             an.set_spectrum_source(f[0], f[1])
+        elif ct == CallType.SET_INSPECTOR_DOPPLER:
+            from sigdigger_tpu.orbit import OrbitPredictor, parse_tle
+
+            tle = parse_tle(f[1])[0]
+            an.set_inspector_doppler_correction(
+                f[0], OrbitPredictor(tle, f[2], f[3], f[4]),
+                request_id=f[5])
+        elif ct == CallType.DISABLE_INSPECTOR_DOPPLER:
+            an.disable_doppler_correction(f[0], f[1])
         elif ct == CallType.REQ_HALT:
             an.halt()
         else:
@@ -735,6 +749,23 @@ class SuscanWireClient:
                                 request_id: int = 0) -> None:
         self._send(CallType.SET_INSPECTOR_WATERMARK, int(handle),
                    int(watermark), int(request_id))
+
+    def set_inspector_doppler_correction(
+            self, handle: int, tle_text: str, lat_deg: float,
+            lon_deg: float, alt_km: float = 0.0,
+            request_id: int = 0) -> None:
+        """Enable satellite Doppler tracking on an inspector: the
+        server builds an OrbitPredictor from the TLE + ground site and
+        retunes the channel live (reference setInspectorDopplerCorrection,
+        Suscan/Analyzer.cpp:568-579)."""
+        self._send(CallType.SET_INSPECTOR_DOPPLER, int(handle),
+                   str(tle_text), float(lat_deg), float(lon_deg),
+                   float(alt_km), int(request_id))
+
+    def disable_doppler_correction(self, handle: int,
+                                   request_id: int = 0) -> None:
+        self._send(CallType.DISABLE_INSPECTOR_DOPPLER, int(handle),
+                   int(request_id))
 
     def set_estimator(self, handle: int, estimator: str,
                       enabled: bool) -> None:
