@@ -196,6 +196,13 @@ class _Bucket:
         self.comp_audio = None
         self.cmap: dict[int, int] = {}
         self.active: list[int] = []
+        # per-section active slot lists (the DrainPacker packs each
+        # section at its own compact width): "audio" = audio slots,
+        # "digital" = psk/fsk/ask, "raw" = slots that consume the raw
+        # planes on the host (raw/power payloads, estimators,
+        # spectrum sources)
+        self.active_by: dict[str, list[int]] = {
+            "audio": [], "digital": [], "raw": []}
         # single-fetch drain packers, keyed (audio, digital, raw) —
         # variants compile lazily on first need (kernels/drainpack.py)
         self.packers: dict = {}
@@ -434,11 +441,55 @@ class KernelAnalyzer(Analyzer):
             return
         bucket.cmap = {idx: i for i, idx in enumerate(active)}
         bucket.active = active
+        bucket.active_by = self._active_by(bucket)
         for comp in (bucket.comp_digital, bucket.comp_raw,
                      bucket.comp_audio):
             comp.set_mapping(active)
         for packer in bucket.packers.values():
-            packer.set_mapping(active)
+            cfg = packer.cfg
+            ab = bucket.active_by
+            if (len(active) <= cfg.width
+                    and len(ab["audio"]) <= cfg.audio_width
+                    and len(ab["digital"]) <= cfg.digital_width
+                    and len(ab["raw"]) <= cfg.raw_width):
+                packer.set_mappings(active, audio=ab["audio"],
+                                    digital=ab["digital"],
+                                    raw=ab["raw"])
+            # else: stale variant — _get_packer's width key no longer
+            # selects it
+
+    def _active_by(self, bucket: _Bucket) -> dict[str, list[int]]:
+        by: dict[str, list[int]] = {"audio": [], "digital": [],
+                                    "raw": []}
+        for slot in self._inspectors.values():
+            ks = self._kslots[slot.handle]
+            if ks.bucket is not bucket:
+                continue
+            if slot.class_name == "audio":
+                by["audio"].append(ks.idx)
+            elif slot.class_name in _DIGITAL:
+                by["digital"].append(ks.idx)
+            if (slot.class_name in ("raw", "power") or slot.estimators
+                    or slot.spectrum_source):
+                by["raw"].append(ks.idx)
+        return {k: sorted(v) for k, v in by.items()}
+
+    def set_estimator(self, handle: int, estimator_id: str,
+                      enabled: bool, request_id: int = 0) -> None:
+        super().set_estimator(handle, estimator_id, enabled,
+                              request_id)
+        slot = self._inspectors.get(handle)
+        if slot is not None:
+            with self._lock:
+                self._refresh_compact(self._kslots[handle].bucket)
+
+    def set_spectrum_source(self, handle: int, source_id: int,
+                            request_id: int = 0) -> None:
+        super().set_spectrum_source(handle, source_id, request_id)
+        slot = self._inspectors.get(handle)
+        if slot is not None:
+            with self._lock:
+                self._refresh_compact(self._kslots[handle].bucket)
 
     # ------------------------------------------------------------------
     # inspector lifecycle (same ack protocol as the base engine)
@@ -777,6 +828,12 @@ class KernelAnalyzer(Analyzer):
             packer = self._get_packer(bucket, any_audio, any_digital,
                                       need_host_raw)
             h["packer"] = packer
+            # per-section column maps, snapshotted with the dispatch
+            # (pipelined drains must demap with the maps the pack was
+            # built from)
+            h["pmaps"] = {
+                sec: {idx: col for col, idx in enumerate(cols)}
+                for sec, cols in bucket.active_by.items()}
             h["pack"] = packer.dispatch(
                 audio=audio,
                 sq=bucket.audio._sq if any_audio else None,
@@ -831,17 +888,34 @@ class KernelAnalyzer(Analyzer):
             DrainPackerConfig,
         )
 
-        key = (any_audio, any_digital, need_raw)
+        def w8(n: int) -> int:
+            w = 8
+            while w < n:
+                w *= 2
+            return w
+
+        ab = bucket.active_by
+        w_a = w8(len(ab["audio"])) if any_audio else 0
+        w_d = w8(len(ab["digital"])) if any_digital else 0
+        w_r = w8(len(ab["raw"])) if need_raw else 0
+        # the status tile carries every active slot; per-section widths
+        # (powers of two × 8) divide it, so lane grouping always lines
+        # up
+        width = max(w8(len(bucket.active)), w_a, w_d, w_r)
+        key = (any_audio, any_digital, need_raw, width, w_a, w_d, w_r)
         packer = bucket.packers.get(key)
         if packer is None:
             block_out = bucket.raw.cfg.block_out
             packer = DrainPacker(DrainPackerConfig(
                 n_rows=block_out,
                 audio_rows=block_out // self._audio_decim,
-                n_channels=self._n_slots, width=self._compact_cols,
+                n_channels=self._n_slots, width=width,
                 has_audio=any_audio, has_digital=any_digital,
-                has_raw=need_raw), interpret=self._interpret)
-            packer.set_mapping(bucket.active)
+                has_raw=need_raw, audio_width=w_a,
+                digital_width=w_d, raw_width=w_r),
+                interpret=self._interpret)
+            packer.set_mappings(bucket.active, audio=ab["audio"],
+                                digital=ab["digital"], raw=ab["raw"])
             bucket.packers[key] = packer
         return packer
 
@@ -898,19 +972,29 @@ class KernelAnalyzer(Analyzer):
                 power = np.asarray(h["power"])[0]
 
         msgs = []
+        pmaps = h.get("pmaps")
         for slot in slots:
             ks = self._kslots[slot.handle]
             idx = cmap[ks.idx] if comp else ks.idx
+            # the packed drain compacts each section at its own width
+            # (kernels/drainpack.py) — demap with the per-section maps
+            # snapshotted at dispatch
+            if "pack" in h:
+                a_idx = pmaps["audio"].get(ks.idx, idx)
+                d_idx = pmaps["digital"].get(ks.idx, idx)
+                r_idx = pmaps["raw"].get(ks.idx, idx)
+            else:
+                a_idx = d_idx = r_idx = idx
             c = ks.config
             raw_col = None
             if y_re is not None and (
                     slot.class_name in ("raw", "power")
                     or slot.estimators or slot.spectrum_source):
-                raw_col = (y_re[:, idx] + 1j * y_im[:, idx]).astype(
-                    np.complex64)
+                raw_col = (y_re[:, r_idx]
+                           + 1j * y_im[:, r_idx]).astype(np.complex64)
             name = slot.class_name
             if name == "audio":
-                aud = audio_out[:, idx]
+                aud = audio_out[:, a_idx]
                 if ks.resampler is not None:
                     aud = ks.resampler(aud)
                 extras = {"squelch_open": bool(squelch_open[ks.idx])}
@@ -949,8 +1033,8 @@ class KernelAnalyzer(Analyzer):
                 msgs.append((slot, np.asarray(out, np.float32), {},
                              raw_col))
             else:                              # psk / fsk / ask
-                sym = soft[:, idx]
-                st = strobe[:, idx]
+                sym = soft[:, d_idx]
+                st = strobe[:, d_idx]
                 if name != "fsk":              # fsk is amp-invariant
                     sym = sym * np.float32(self._digital_gain(ks, sym))
                 if name == "psk":

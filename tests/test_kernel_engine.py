@@ -502,3 +502,123 @@ def test_raw_agc_on_weak_channel_via_packed_drain():
     y = np.concatenate(out)[2048:]
     rms = np.sqrt(np.mean(np.abs(y) ** 2))
     assert 0.5 < rms < 2.0, f"AGC'd raw RMS {rms} (expected ~1)"
+
+
+def test_drainpack_per_section_widths_and_bytes():
+    """The packed drain compacts each SECTION at its own width
+    (audio / digital / raw slots pack only their live columns, lane-
+    grouped into one buffer) — a mixed session's drain buffer must
+    shrink accordingly and still demap to the same payloads as the
+    unpacked drain."""
+    def emitters():
+        return [Emitter(freq=60e3, amplitude=1.0, fm_rate=300.0,
+                        fm_dev=2000.0),
+                Emitter(freq=-50e3, amplitude=1.0, kind="psk",
+                        order=4, baud=2000.0, seed=9)]
+
+    def session(an):
+        hs = {}
+        hs["a"] = [an.open_inspector(
+            "audio", Channel(fc=55e3 + 2e3 * i, bw=8e3),
+            config={"audio.demodulator": 2, "audio.volume": 1.0,
+                    "audio.sample-rate": an.audio_rate})
+            for i in range(3)]
+        hs["p"] = [an.open_inspector(
+            "psk", Channel(fc=-50e3, bw=6e3),
+            config={"afc.bits-per-symbol": 2, "clock.baud": 2000.0,
+                    "agc.enabled": False, "agc.gain": 1.0})]
+        hs["w"] = [an.open_inspector("power", Channel(fc=60e3,
+                                                     bw=8e3))]
+        an.poll()
+        return hs
+
+    def collect(an, hs, steps=3):
+        out = {h: [] for v in hs.values() for h in v}
+        for _ in range(steps):
+            assert an.step()
+            for m in an.poll():
+                if m.kind == MessageKind.SAMPLES:
+                    out[m.handle].append(np.asarray(m.samples))
+        return {h: np.concatenate(v) for h, v in out.items()}
+
+    an = make_engine(emitters(), n_slots=128, compact_cols=32)
+    hs = session(an)
+    got = collect(an, hs)
+    # the lazily-built packer used per-section widths: 3 audio + 1
+    # digital + 1 raw of 5 active -> every section packs at width 8,
+    # not the 32-column compact width
+    (packer,) = an._buckets[16].packers.values()
+    assert packer.cfg.width == 8
+    assert packer.cfg.audio_width == 8
+    assert packer.cfg.digital_width == 8
+    assert packer.cfg.raw_width == 8
+
+    an2 = make_engine(emitters(), n_slots=128, compact_cols=32,
+                      drain_pack=False)
+    want = collect(an2, session(an2))
+    for (h, a), (h2, b) in zip(sorted(got.items()),
+                               sorted(want.items())):
+        np.testing.assert_allclose(a, b, rtol=0, atol=2.5 / 4096.0)
+
+
+def test_drainpack_lane_grouping_roundtrip():
+    """Direct kernel test of the lane-grouped packing: sections
+    narrower than the buffer width fold G consecutive time tiles into
+    the lane groups of one output tile and must demap exactly."""
+    import jax.numpy as jnp
+
+    from sigdigger_tpu.kernels.drainpack import (
+        DrainPacker,
+        DrainPackerConfig,
+    )
+
+    c = 32
+    cfg = DrainPackerConfig(n_rows=256, audio_rows=64, n_channels=c,
+                            width=16, audio_width=16, digital_width=8,
+                            raw_width=8, has_audio=True,
+                            has_digital=True, has_raw=True)
+    assert cfg.group("digital") == 2 and cfg.group("raw") == 2
+    pk = DrainPacker(cfg, interpret=True)
+    status = list(range(12))
+    audio = [0, 2, 4]
+    digital = [5, 6, 7, 8]
+    raw = [9, 11]
+    pk.set_mappings(status, audio=audio, digital=digital, raw=raw)
+
+    rng = np.random.default_rng(7)
+    a = rng.standard_normal((64, c)).astype(np.float32)
+    planes = [rng.standard_normal((256, c)).astype(np.float32) * 0.3
+              for _ in range(5)]
+    strobe = (rng.random((256, c)) < 0.3).astype(np.float32)
+    sq = rng.random((1, c)).astype(np.float32) * 0.01
+    pw = rng.random((1, c)).astype(np.float32) * 0.01
+
+    sec = pk.fetch(pk.dispatch(
+        audio=jnp.asarray(a), sq=jnp.asarray(sq), pw=jnp.asarray(pw),
+        dig=(jnp.asarray(planes[0]), jnp.asarray(planes[1]),
+             jnp.asarray(strobe)),
+        raw=(jnp.asarray(planes[3]), jnp.asarray(planes[4]))))
+
+    assert sec["audio"].shape == (64, 16)
+    assert sec["soft"].shape == (256, 8)
+    assert sec["y_re"].shape == (256, 8)
+    for w_col, ch in enumerate(audio):
+        np.testing.assert_allclose(sec["audio"][:, w_col], a[:, ch],
+                                   atol=1.5 / 4096.0)
+    for w_col, ch in enumerate(digital):
+        np.testing.assert_allclose(sec["soft"][:, w_col].real,
+                                   planes[0][:, ch],
+                                   atol=1.5 / 8192.0)
+        np.testing.assert_array_equal(sec["strobe"][:, w_col],
+                                      strobe[:, ch] > 0.5)
+    for w_col, ch in enumerate(raw):
+        np.testing.assert_allclose(sec["y_re"][:, w_col],
+                                   planes[3][:, ch],
+                                   atol=1.5 / 4096.0)
+        np.testing.assert_allclose(sec["y_im"][:, w_col],
+                                   planes[4][:, ch],
+                                   atol=1.5 / 4096.0)
+    np.testing.assert_allclose(sec["power"][:12], pw[0, :12],
+                               rtol=1e-5, atol=4e-12)
+    np.testing.assert_allclose(sec["sq"][:12], sq[0, :12],
+                               rtol=1e-5, atol=4e-12)
