@@ -19,9 +19,13 @@ Prints one JSON line.
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 SAMPLE_RATE = 102_400_000.0
 N_CHANNELS = 1024

@@ -78,7 +78,12 @@ class DeviceRebin:
         self.span_hz = nsrc * src_bin_hz
         self._op = jnp.asarray(op)        # device-resident constant
 
-    def __call__(self, psd_natural: jax.Array) -> np.ndarray:
+    def __call__(self, psd_natural) -> np.ndarray:
+        if isinstance(psd_natural, np.ndarray):
+            # host-folded PSD (PallasPSD path): upload as f32 — the
+            # axon backend has no f64
+            psd_natural = jnp.asarray(
+                psd_natural.astype(np.float32))
         return np.asarray(_rebin_matmul(self._op, psd_natural))
 
 SPECTRUM_BINS = 65536          # reference include/Scanner.h:26-31
@@ -257,6 +262,7 @@ class Scanner:
         settle_blocks: int = 1,
         seed: int = 0,
         device_rebin: bool = True,
+        estimator: str = "auto",
     ) -> None:
         if not hasattr(source, "set_frequency"):
             raise ValueError("scanner needs a tunable source")
@@ -285,9 +291,33 @@ class Scanner:
         # likewise reuses the running analyzer between hops,
         # Panoramic/Scanner.cpp:504-523) and one constant device-side
         # rebin operator.
-        self._est = SpectrumEstimator(
-            self.fft_size, self.rate, WindowFunction.BLACKMANN_HARRIS,
-            alpha=0.5)
+        # estimator backend: the XLA-FFT SpectrumEstimator cannot
+        # execute on the minimal axon TPU surface (no FFT primitive),
+        # so "auto" picks the Bailey DFT-matmul Pallas PSD there —
+        # the sweep hot path (window+FFT+PSD of every hop, reference
+        # Panoramic/Scanner.cpp:322-345) runs on the target hardware.
+        if estimator == "auto":
+            estimator = ("pallas" if jax.default_backend()
+                         in ("tpu", "axon") else "xla")
+        self.estimator = estimator
+        if estimator == "pallas":
+            from sigdigger_tpu.kernels.fft import (
+                PallasPSD,
+                PallasPSDConfig,
+            )
+
+            fpp = max(d for d in range(1, 9)
+                      if frames_per_hop % d == 0)
+            self._est = PallasPSD(
+                PallasPSDConfig(fft_size=self.fft_size,
+                                frames_per_block=frames_per_hop,
+                                frames_per_program=fpp),
+                self.rate, WindowFunction.BLACKMANN_HARRIS,
+                alpha=0.5)
+        else:
+            self._est = SpectrumEstimator(
+                self.fft_size, self.rate,
+                WindowFunction.BLACKMANN_HARRIS, alpha=0.5)
         self._rebin: DeviceRebin | None = None
         if device_rebin:
             self._rebin = DeviceRebin(
