@@ -42,11 +42,58 @@ BLOCK_OUT = 8192
 PSD_FFT = 4096
 
 
-def _make_blocks(block_in: int, n: int = 4) -> list[np.ndarray]:
-    rng = np.random.default_rng(0)
+def _make_blocks(block_in: int, n: int = 4,
+                 seed: int = 0) -> list[np.ndarray]:
+    rng = np.random.default_rng(seed)
     return [(rng.standard_normal(block_in)
              + 1j * rng.standard_normal(block_in)).astype(np.complex64)
             for _ in range(n)]
+
+
+def link_probe() -> dict:
+    """Measure the host↔device link itself (the denominator of every
+    end-to-end claim): dispatch RTT, H2D and D2H bandwidth with
+    DISTINCT content per rep (the axon tunnel dedupes repeats and
+    caches fetched values — D2H must fetch freshly-computed arrays).
+    ~12 MB total so the probe stays cheap."""
+    import jax
+    import jax.numpy as jnp
+
+    dev = jax.devices()[0]
+    rng = np.random.default_rng(99)
+    small = [rng.standard_normal(8).astype(np.float32)
+             for _ in range(32)]
+    it = iter(small * 8)
+    ts = []
+    for _ in range(2):
+        np.asarray(jax.device_put(next(it), dev))
+    for _ in range(9):
+        t0 = time.perf_counter()
+        np.asarray(jax.device_put(next(it), dev))
+        ts.append(time.perf_counter() - t0)
+    rtt = float(np.median(ts))
+
+    mb = 2
+    bufs = [rng.standard_normal(mb * (1 << 20) // 4
+                                ).astype(np.float32) for _ in range(3)]
+    jax.block_until_ready(jax.device_put(bufs[0], dev))   # warm
+    t0 = time.perf_counter()
+    hs = [jax.device_put(b, dev) for b in bufs]
+    jax.block_until_ready(hs)
+    h2d = len(bufs) * mb / (time.perf_counter() - t0)
+
+    scale = jax.jit(lambda x, s: x * s)
+    fresh = [scale(h, jnp.float32(1.0 + 1e-6 * k))
+             for k, h in enumerate(hs, 1)]
+    jax.block_until_ready(fresh)
+    np.asarray(scale(hs[0], jnp.float32(1.5)))            # warm
+    t0 = time.perf_counter()
+    for f in fresh:
+        np.asarray(f)
+    d2h = len(bufs) * mb / (time.perf_counter() - t0)
+    return {"link_rtt_ms": round(rtt * 1e3, 2),
+            "link_h2d_mbps": round(h2d, 1),
+            "link_d2h_mbps": round(d2h, 1)}
 
 
 def bench_end_to_end(iters: int = 24) -> tuple[float, dict]:
@@ -55,8 +102,11 @@ def bench_end_to_end(iters: int = 24) -> tuple[float, dict]:
     Every timed block is DISTINCT data (the axon tunnel caches
     transfers by content, so repeating blocks would fake the numbers),
     drained through the depth-2 pipeline the receiver serves with.
+    Reports the MEDIAN per-block time (tunnel variance would otherwise
+    make rounds incomparable) plus a synchronous per-stage breakdown
+    (frame / H2D / kernels / D2H, with byte counts).
     """
-    from collections import deque
+    import jax
 
     from sigdigger_tpu.receiver import KernelReceiver
 
@@ -66,24 +116,66 @@ def bench_end_to_end(iters: int = 24) -> tuple[float, dict]:
         mode="fm", decimation=64, block_out=BLOCK_OUT,
         psd_fft=PSD_FFT, interpret=False,
         # transfer discipline: int16 IQ upload + bf16 audio drain halve
-        # the per-block bytes through the tunnel/PCIe
-        in_i16=True, audio_bf16=True,
+        # the per-block bytes through the tunnel/PCIe; audio taps at
+        # 50 kHz/channel (channel_rate/32 — the realistic audio
+        # endpoint, reference default 44.1 kHz) instead of 200 kHz
+        in_i16=True, audio_bf16=True, audio_decim=32,
     )
     blocks = _make_blocks(rx.block_in, n=iters + 2)
     for b in blocks[:2]:                      # warm + state settle
         rx.feed(b)
-    inflight: deque = deque()
-    t0 = time.perf_counter()
+    # pipelined steady state, per-block wall times
+    inflight: list = []
+    times = []
+    t_prev = time.perf_counter()
     for x in blocks[2:]:
         inflight.append(rx.feed_async(x))
         if len(inflight) >= 2:
-            rx.drain(inflight.popleft())
+            rx.drain(inflight.pop(0))
+        now = time.perf_counter()
+        times.append(now - t_prev)
+        t_prev = now
     while inflight:
-        rx.drain(inflight.popleft())
-    dt = (time.perf_counter() - t0) / iters
+        rx.drain(inflight.pop(0))
+        now = time.perf_counter()
+        times.append(now - t_prev)
+        t_prev = now
+    # drop the fill/flush edges; median of the steady-state middle
+    mid = np.asarray(times[1:-1])
+    dt = float(np.median(mid))
+
+    # synchronous per-stage breakdown (5 blocks, medians)
+    tf, th, tk, td = [], [], [], []
+    up_b = dn_b = 0
+    for x in _make_blocks(rx.block_in, n=5, seed=7):
+        t0 = time.perf_counter()
+        xw = rx._chan._frame(x)
+        t1 = time.perf_counter()
+        xw_dev = jax.device_put(xw)
+        jax.block_until_ready(xw_dev)
+        t2 = time.perf_counter()
+        psd_h = rx._psd.feed_async(xw_dev)
+        audio = rx._chan.feed_packed(xw_dev)
+        jax.block_until_ready((psd_h, audio))
+        t3 = time.perf_counter()
+        a = np.asarray(audio)
+        rx._psd.fold(np.asarray(psd_h))
+        t4 = time.perf_counter()
+        tf.append(t1 - t0)
+        th.append(t2 - t1)
+        tk.append(t3 - t2)
+        td.append(t4 - t3)
+        up_b = xw.nbytes
+        dn_b = a.size * a.itemsize + PSD_FFT * 4
+    med = lambda v: round(float(np.median(v)) * 1e3, 2)  # noqa: E731
     return rx.block_in / dt / 1e6, {
         "e2e_ms_per_block": round(dt * 1e3, 3),
+        "e2e_ms_p90": round(float(np.percentile(mid, 90)) * 1e3, 3),
+        "e2e_frame_ms": med(tf), "e2e_h2d_ms": med(th),
+        "e2e_kernel_ms": med(tk), "e2e_d2h_ms": med(td),
+        "e2e_h2d_bytes": up_b, "e2e_d2h_bytes": dn_b,
         "block_in": rx.block_in,
+        "audio_rate_hz": rx.audio_rate,
     }
 
 
@@ -116,7 +208,9 @@ def bench_engine(iters: int = 10) -> tuple[float, dict]:
             return b
 
     prof = SourceProfile(type="synth", sample_rate=int(SAMPLE_RATE))
-    src = RingSource(prof, _make_blocks(block, n=iters + 2))
+    # +4 distinct blocks for the per-stage breakdown (a wrap-around
+    # replay would hit the tunnel's content cache and fake the H2D)
+    src = RingSource(prof, _make_blocks(block, n=iters + 6))
     params = AnalyzerParams()
     params.window_size = PSD_FFT
     an = KernelAnalyzer(source=src, params=params, block_size=block,
@@ -137,14 +231,59 @@ def bench_engine(iters: int = 10) -> tuple[float, dict]:
     for _ in range(2):                       # warm + state settle
         an.step()
         an.poll()
-    t0 = time.perf_counter()
+    times = []
     for _ in range(iters):
+        t0 = time.perf_counter()
         an.step()
         an.poll()
-    dt = (time.perf_counter() - t0) / iters
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
+
+    # synchronous per-stage breakdown: frame / H2D / dispatch /
+    # single-fetch drain / host demap (medians of 4 blocks)
+    import jax
+
+    tf, th, ts, tu, tm = [], [], [], [], []
+    up_b = dn_b = 0
+    for _ in range(4):
+        x = src.read(block)
+        (d, slots), = {
+            k: [s for s in an._inspectors.values()
+                if an._kslots[s.handle].bucket.decimation == k]
+            for k in {an._kslots[s.handle].bucket.decimation
+                      for s in an._inspectors.values()}}.items()
+        bucket = an._buckets[d]
+        t0 = time.perf_counter()
+        xw = bucket.raw.frame_packed(x, i16=an._in_i16)
+        t1 = time.perf_counter()
+        xw_dev = jax.device_put(xw)
+        jax.block_until_ready(xw_dev)
+        t2 = time.perf_counter()
+        an._spectrum.feed_ema(xw_dev)
+        h = an._dispatch_bucket(bucket, slots, x, xw_dev)
+        jax.block_until_ready(h.get("pack"))
+        t3 = time.perf_counter()
+        if "pack" in h:
+            dn_b = np.asarray(h["pack"]).nbytes
+        t4 = time.perf_counter()
+        an._drain_bucket(h)
+        t5 = time.perf_counter()
+        tf.append(t1 - t0)
+        th.append(t2 - t1)
+        ts.append(t3 - t2)
+        tu.append(t4 - t3)
+        tm.append(t5 - t4)
+        up_b = xw.nbytes
+    med = lambda v: round(float(np.median(v)) * 1e3, 2)  # noqa: E731
     return block / dt / 1e6, {
         "engine_ms_per_block": round(dt * 1e3, 2),
+        "engine_ms_p90": round(
+            float(np.percentile(times, 90)) * 1e3, 2),
         "engine_inspectors": 17,
+        "eng_frame_ms": med(tf), "eng_h2d_ms": med(th),
+        "eng_dispatch_ms": med(ts), "eng_fetch_ms": med(tu),
+        "eng_demap_ms": med(tm),
+        "eng_h2d_bytes": up_b, "eng_d2h_bytes": dn_b,
     }
 
 
@@ -255,6 +394,7 @@ def main() -> None:
     backend = jax.default_backend()
     if backend in ("tpu", "axon"):
         # NO fallback: a TPU-path failure must fail the bench loudly.
+        link = link_probe()
         kernel_msps, kextra = bench_kernel()
         e2e_msps, eextra = bench_end_to_end()
         engine_msps, gextra = bench_engine()
@@ -262,7 +402,7 @@ def main() -> None:
             "end_to_end_msps": round(e2e_msps, 2),
             "kernel_msps": round(kernel_msps, 2),
             "engine_msps": round(engine_msps, 2),
-            **eextra, **kextra, **gextra,
+            **link, **eextra, **kextra, **gextra,
             "channels": N_CHANNELS,
             "path": "pallas-fused-v2",
         }

@@ -69,6 +69,7 @@ class KernelReceiver:
         snap_grid: bool = True,
         in_i16: bool = False,
         audio_bf16: bool = False,
+        audio_decim: int = 8,
     ) -> None:
         f0s = np.asarray(f0s, np.float64)
         n_channels = len(f0s)
@@ -80,7 +81,8 @@ class KernelReceiver:
         self.cfg = MatChannelizerConfig(
             sample_rate=float(sample_rate), n_channels=n_channels,
             taps=64, decimation=decimation, audio_taps=64,
-            audio_decim=8, block_out=block_out, channel_tile=tile,
+            audio_decim=audio_decim, block_out=block_out,
+            channel_tile=tile,
         )
         if mode == "fm":
             # v2 kernel: whole block in one dispatch (time-tiled grid)
@@ -88,8 +90,8 @@ class KernelReceiver:
             v2 = MatChannelizer2Config(
                 sample_rate=float(sample_rate), n_channels=n_channels,
                 taps=64, decimation=decimation, audio_taps=64,
-                audio_decim=8, block_out=block_out, m_tile=m_tile,
-                channel_tile=tile, in_i16=in_i16,
+                audio_decim=audio_decim, block_out=block_out,
+                m_tile=m_tile, channel_tile=tile, in_i16=in_i16,
                 audio_bf16=audio_bf16,
             )
             self._chan = MatChannelizer2(v2, f0s, bw,

@@ -114,3 +114,30 @@ def test_receiver_snap_grid_quantization():
     a = run(f0s_raw, True)           # snapped internally
     b = run(f0s_snap, False)         # explicit grid centers, live phi
     np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+def test_receiver_fm_audio_decim_32():
+    """The bench's realistic audio tap: audio_decim=32 (50 kHz-class
+    audio instead of 200 kHz) must still demodulate a clean FM tone
+    through the fused kernel."""
+    fs = 2_048_000.0
+    f0s = np.array([-500e3, -100e3, 300e3, 700e3])
+    rx = KernelReceiver(fs, f0s, bw=100e3, mode="fm", decimation=32,
+                        block_out=2048, psd_fft=1024, interpret=True,
+                        audio_decim=32)
+    assert rx.audio_rate == fs / 32 / 32
+    prof = SourceProfile(type="synth", sample_rate=int(fs),
+                         noise_db=-70.0)
+    src = SynthBandSource(prof, [Emitter(freq=300e3, amplitude=1.0,
+                                         fm_rate=200.0,
+                                         fm_dev=8000.0)])
+    blocks = list(rx.run(src, max_blocks=4))
+    audio = np.concatenate([b.audio for b in blocks], axis=0)
+    a = audio[audio.shape[0] // 2:, 2]
+    a = a - a.mean()
+    spec = np.abs(np.fft.rfft(a * np.hanning(len(a))))
+    f_pk = np.argmax(spec[1:]) + 1
+    assert abs(f_pk * rx.audio_rate / len(a) - 200.0) < 40.0
+    # modulation tone dominates everything else
+    others = np.delete(spec, [f_pk - 1, f_pk, f_pk + 1])
+    assert spec[f_pk] > 5 * others.max()
