@@ -308,7 +308,7 @@ def bench_kernel() -> tuple[float, dict]:
 
     cfg = MatChannelizer2Config(
         sample_rate=SAMPLE_RATE, n_channels=N_CHANNELS, taps=64,
-        decimation=64, audio_taps=64, audio_decim=8,
+        decimation=64, audio_taps=64, audio_decim=32,
         block_out=BLOCK_OUT, m_tile=2048, channel_tile=128,
     )
     f0s = np.linspace(-48e6, 48e6, cfg.n_channels)

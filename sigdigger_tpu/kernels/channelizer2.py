@@ -45,6 +45,12 @@ class MatChannelizer2Config:
     block_out: int = 8192        # M total per dispatch
     m_tile: int = 2048           # Mt per grid program
     channel_tile: int = 128
+    # audio-FIR chunk (channel samples): the banded FIR matmul runs in
+    # [Ft/Da, Ft+Ka-1] chunks instead of one [Mt/Da, Mt+Ka-1] pass —
+    # the dense band is ~97% zeros at Mt=2048, so chunking cuts the
+    # EXECUTED MXU flops ~(Mt+Ka)/(Ft+Ka)x at equal useful work
+    # (r3 VERDICT item 5: close the mfu vs hw-util gap).  0 → auto.
+    fir_tile: int = 0
     quad_gain: float = 1.0 / np.pi
     # transfer discipline (VERDICT r2: halve e2e bytes per block):
     in_i16: bool = False         # upload framed IQ as int16 (2x H2D)
@@ -55,6 +61,17 @@ class MatChannelizer2Config:
         assert self.block_out % self.m_tile == 0
         assert self.m_tile % self.audio_decim == 0
         assert self.audio_taps % self.audio_decim == 0
+        if self.fir_tile == 0:
+            # auto: ≤256 rows, multiple of audio_decim, divides m_tile
+            ft = min(self.m_tile, 256)
+            ft -= ft % self.audio_decim
+            while ft >= self.audio_decim and self.m_tile % ft:
+                ft -= self.audio_decim
+            object.__setattr__(self, "fir_tile",
+                               ft if ft >= self.audio_decim
+                               else self.m_tile)
+        assert self.m_tile % self.fir_tile == 0
+        assert self.fir_tile % self.audio_decim == 0
 
     @property
     def block_in(self) -> int:
@@ -70,12 +87,14 @@ class MatChannelizer2Config:
 
 
 def _local_band(cfg: MatChannelizer2Config) -> np.ndarray:
-    """Banded audio FIR over the tail-extended tile: row i (audio) hits
-    f_ext[i*Da - t + (Ka-1)] for tap t."""
-    ka, da, mt = cfg.audio_taps, cfg.audio_decim, cfg.m_tile
+    """Banded audio FIR over one tail-extended FIR chunk: row i (audio)
+    hits f_ext[i*Da - t + (Ka-1)] for tap t.  The band pattern repeats
+    every chunk, so one [Ft/Da, Ft+Ka-1] constant serves every chunk
+    of every time tile."""
+    ka, da, ft = cfg.audio_taps, cfg.audio_decim, cfg.fir_tile
     ataps = fir_lowpass(ka, min(1.0, 1.0 / da))
-    bt = np.zeros((mt // da, mt + ka - 1), np.float32)
-    for i in range(mt // da):
+    bt = np.zeros((ft // da, ft + ka - 1), np.float32)
+    for i in range(ft // da):
         for t in range(ka):
             bt[i, i * da - t + ka - 1] = ataps[t]
     return bt
@@ -84,8 +103,9 @@ def _local_band(cfg: MatChannelizer2Config) -> np.ndarray:
 def _kernel2(xw_re, xw_im, h_re, h_im, theta, m_ramp, phi0, prev_re,
              prev_im, ftail_in, bt, audio_ref, last_re_ref, last_im_ref,
              ftail_out_ref, scr_prev, scr_f,
-             *, mt: int, ka: int, m_tiles: int, quad_gain: float,
-             in_gain: float = 1.0, audio_bf16: bool = False):
+             *, mt: int, ka: int, ft: int, da: int, m_tiles: int,
+             quad_gain: float, in_gain: float = 1.0,
+             audio_bf16: bool = False):
     mi = pl.program_id(1)
 
     xr = xw_re[:]
@@ -123,9 +143,15 @@ def _kernel2(xw_re, xw_im, h_re, h_im, theta, m_ramp, phi0, prev_re,
     f = atan2(di, dr) * quad_gain
 
     scr_f[ka - 1:ka - 1 + mt, :] = f
-    aud = jnp.dot(bt[:], scr_f[0:mt + ka - 1, :],
-                  preferred_element_type=jnp.float32)
-    audio_ref[:] = aud.astype(jnp.bfloat16) if audio_bf16 else aud
+    # banded FIR in chunks: each [Ft/Da, Ft+Ka-1] matmul covers Ft
+    # channel samples — same useful work as one [Mt/Da, Mt+Ka-1] pass
+    # with ~(Mt+Ka)/(Ft+Ka)x fewer executed (mostly-zero) MXU flops
+    fta = ft // da
+    for fi in range(mt // ft):
+        chunk = jnp.dot(bt[:], scr_f[fi * ft:fi * ft + ft + ka - 1, :],
+                        preferred_element_type=jnp.float32)
+        audio_ref[fi * fta:(fi + 1) * fta, :] = (
+            chunk.astype(jnp.bfloat16) if audio_bf16 else chunk)
 
     # carry for the next time tile / the next block
     scr_prev[0:1, :] = rr[-1:, :]
@@ -229,7 +255,8 @@ class MatChannelizer2:
                              memory_space=pltpu.VMEM),      # prev_im
                 pl.BlockSpec((ka - 1, ct), lambda ci, mi: (0, ci),
                              memory_space=pltpu.VMEM),      # ftail_in
-                pl.BlockSpec((mt // da, mt + ka - 1),
+                pl.BlockSpec((cfg.fir_tile // da,
+                              cfg.fir_tile + ka - 1),
                              lambda ci, mi: (0, 0),
                              memory_space=pltpu.VMEM),      # bt
             ],
@@ -251,7 +278,7 @@ class MatChannelizer2:
         c = cfg.n_channels
         audio_dtype = jnp.bfloat16 if cfg.audio_bf16 else jnp.float32
         call = pl.pallas_call(
-            partial(_kernel2, mt=mt, ka=ka,
+            partial(_kernel2, mt=mt, ka=ka, ft=cfg.fir_tile, da=da,
                     m_tiles=m_tiles, quad_gain=cfg.quad_gain,
                     in_gain=1.0 / cfg.i16_scale,
                     audio_bf16=cfg.audio_bf16),

@@ -61,9 +61,12 @@ def channelizer2_work(cfg) -> KernelWork:
     [Mt/Da, Mt+Ka-1] x [Mt+Ka-1, Ct].
     """
     m, k, c = cfg.block_out, cfg.taps, cfg.n_channels
-    mt, ka, da = cfg.m_tile, cfg.audio_taps, cfg.audio_decim
+    ka, da = cfg.audio_taps, cfg.audio_decim
+    # the banded FIR runs in fir_tile chunks (channelizer2.py); its
+    # executed width per audio row is the chunk band, not the tile
+    ft = getattr(cfg, "fir_tile", cfg.m_tile)
     chan_mxu = 4 * 2.0 * m * k * c
-    fir_mxu = 2.0 * (m / da) * (mt + ka - 1) * c
+    fir_mxu = 2.0 * (m / da) * (ft + ka - 1) * c
     fir_useful = 2.0 * (m / da) * ka * c
     # rotate (sin/cos + complex mul) + discriminator (atan2 ~ 30 flops)
     vpu = m * c * (2 * 12 + 6 + 30 + 4)
