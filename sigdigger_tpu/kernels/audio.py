@@ -99,12 +99,23 @@ class AudioBankConfig:
     dc_alpha: float = 0.9995     # AM DC follower pole (per channel sample)
     sq_alpha: float = 0.5        # squelch power EMA weight per tile
     enable_ssb: bool = True      # compile the second (imag) audio plane
+    fir_tile: int = 0            # banded-FIR chunk rows (0 → auto ≤256)
 
     def __post_init__(self):
         assert self.block_out % self.m_tile == 0
         assert self.m_tile % self.audio_decim == 0
         assert self.audio_taps % self.audio_decim == 0
         assert self.n_channels % self.channel_tile == 0
+        if self.fir_tile == 0:
+            ft = min(self.m_tile, 256)
+            ft -= ft % self.audio_decim
+            while ft >= self.audio_decim and self.m_tile % ft:
+                ft -= self.audio_decim
+            object.__setattr__(self, "fir_tile",
+                               ft if ft >= self.audio_decim
+                               else self.m_tile)
+        assert self.m_tile % self.fir_tile == 0
+        assert self.fir_tile % self.audio_decim == 0
 
     @property
     def block_in(self) -> int:
@@ -135,17 +146,20 @@ def _lowpass_columns(taps: int, cutoff_norm: np.ndarray) -> np.ndarray:
     return h
 
 
-def _band_matrix(m_tile: int, audio_taps: int, audio_decim: int
+def _band_matrix(fir_tile: int, audio_taps: int, audio_decim: int
                  ) -> np.ndarray:
-    """Banded audio decimating FIR over the tail-extended tile: row i
-    (audio sample) hits f_ext[i·Da - t + (Ka-1)] for tap t (identical
-    band pattern to kernels/channelizer2.py)."""
+    """Banded audio decimating FIR over one tail-extended FIR chunk:
+    row i (audio sample) hits f_ext[i·Da - t + (Ka-1)] for tap t
+    (identical band pattern to kernels/channelizer2.py; the pattern
+    repeats every chunk, so one [Ft/Da, Ft+Ka-1] constant serves
+    every chunk of every tile — chunking cuts the executed MXU flops
+    of the mostly-zero band ~(Mt+Ka)/(Ft+Ka)x)."""
     from sigdigger_tpu.dsp.filters import fir_lowpass
 
     ka, da = audio_taps, audio_decim
     ataps = fir_lowpass(ka, min(1.0, 1.0 / da))
-    bt = np.zeros((m_tile // da, m_tile + ka - 1), np.float32)
-    for i in range(m_tile // da):
+    bt = np.zeros((fir_tile // da, fir_tile + ka - 1), np.float32)
+    for i in range(fir_tile // da):
         for t in range(ka):
             bt[i, i * da - t + ka - 1] = ataps[t]
     return bt
@@ -174,8 +188,8 @@ def _audio_kernel(xw_re, xw_im, h_re, h_im, theta, m_ramp, ia_ramp, phi0,
                   ftail2_out_ref, atail1_out_ref, atail2_out_ref,
                   sq_out_ref, dc_out_ref, pow_out_ref,
                   scr_prev, scr_f1, scr_f2, scr_a1, scr_a2, scr_st,
-                  *, mt: int, ka: int, ka2: int, mta: int, m_tiles: int,
-                  quad_gain: float, ssb: bool,
+                  *, mt: int, ka: int, ka2: int, mta: int, ft: int,
+                  m_tiles: int, quad_gain: float, ssb: bool,
                   in_gain: float = 1.0):
     mi = pl.program_id(1)
 
@@ -236,14 +250,20 @@ def _audio_kernel(xw_re, xw_im, h_re, h_im, theta, m_ramp, ia_ramp, phi0,
     if ssb:
         scr_f2[ka - 1:ka - 1 + mt, :] = w_ssb[:] * (g * ri)
 
-    # 5. audio decimating FIR (banded local matmul per plane)
-    aud1 = jnp.dot(bt[:], scr_f1[0:mt + ka - 1, :],
-                   preferred_element_type=jnp.float32)
-    scr_a1[ka2 - 1:ka2 - 1 + mta, :] = aud1
-    if ssb:
-        aud2 = jnp.dot(bt[:], scr_f2[0:mt + ka - 1, :],
-                       preferred_element_type=jnp.float32)
-        scr_a2[ka2 - 1:ka2 - 1 + mta, :] = aud2
+    # 5. audio decimating FIR (banded local matmul per plane, run in
+    # fir_tile chunks — the band is mostly zeros, chunking trims the
+    # executed MXU flops at identical useful work)
+    fta = ft // (mt // mta)   # = ft // audio_decim
+    for fi in range(mt // ft):
+        a1c = jnp.dot(bt[:], scr_f1[fi * ft:fi * ft + ft + ka - 1, :],
+                      preferred_element_type=jnp.float32)
+        scr_a1[ka2 - 1 + fi * fta:ka2 - 1 + (fi + 1) * fta, :] = a1c
+        if ssb:
+            a2c = jnp.dot(bt[:],
+                          scr_f2[fi * ft:fi * ft + ft + ka - 1, :],
+                          preferred_element_type=jnp.float32)
+            scr_a2[ka2 - 1 + fi * fta:
+                   ka2 - 1 + (fi + 1) * fta, :] = a2c
 
     # 6. per-channel audio-rate FIR (audio.cutoff / SSB selection):
     # static shifted mul-adds with per-channel tap rows
@@ -337,7 +357,8 @@ class AudioBank:
         mta = cfg.m_tile // cfg.audio_decim
         self._ia_ramp = jnp.asarray(
             np.arange(mta, dtype=np.float32)[:, None])
-        self._bt = jnp.asarray(_band_matrix(cfg.m_tile, cfg.audio_taps,
+        self._bt = jnp.asarray(_band_matrix(cfg.fir_tile,
+                                            cfg.audio_taps,
                                             cfg.audio_decim))
         tdc, dcpow = _dc_matrices(cfg)
         self._tdc = jnp.asarray(tdc)
@@ -577,7 +598,9 @@ class AudioBank:
                 row(per_ch),                                # sqa
                 pl.BlockSpec((ka2, ct), lambda ci, mi: (0, ci),
                              memory_space=pltpu.VMEM),      # taps2
-                pl.BlockSpec((mta, mt + ka - 1), lambda ci, mi: (0, 0),
+                pl.BlockSpec((cfg.fir_tile // da,
+                              cfg.fir_tile + ka - 1),
+                             lambda ci, mi: (0, 0),
                              memory_space=pltpu.VMEM),      # bt
                 pl.BlockSpec((mta, mta), lambda ci, mi: (0, 0),
                              memory_space=pltpu.VMEM),      # tdc
@@ -612,6 +635,7 @@ class AudioBank:
         c = cfg.n_channels
         call = pl.pallas_call(
             partial(_audio_kernel, mt=mt, ka=ka, ka2=ka2, mta=mta,
+                    ft=cfg.fir_tile,
                     m_tiles=m_tiles, quad_gain=cfg.quad_gain,
                     ssb=cfg.enable_ssb,
                     in_gain=1.0 / 4096.0),
@@ -755,7 +779,7 @@ class AudioBank:
         planes = 2 if cfg.enable_ssb else 1
         chan = 8.0 * cfg.block_out * cfg.taps * c      # 4 matmuls × 2
         fir = planes * 2.0 * cfg.audio_out \
-            * (cfg.m_tile + cfg.audio_taps - 1) * c
+            * (cfg.fir_tile + cfg.audio_taps - 1) * c
         mta = cfg.m_tile // cfg.audio_decim
         dcb = 2.0 * mta * mta * c * (cfg.block_out // cfg.m_tile)
         fir2 = planes * 2.0 * cfg.audio_out * cfg.audio_fir_taps * c

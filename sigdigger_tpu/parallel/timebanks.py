@@ -257,8 +257,8 @@ class TimeShardedAudioBank:
             np.arange(self.mt, dtype=np.float32)[:, None])
         self._ia_ramp = jnp.asarray(
             np.arange(self.mt // da, dtype=np.float32)[:, None])
-        self._bt = jnp.asarray(_band_matrix(self.mt, cfg.audio_taps,
-                                            da))
+        self._bt = jnp.asarray(_band_matrix(local_cfg.fir_tile,
+                                            cfg.audio_taps, da))
         tdc, dcpow = _dc_matrices(local_cfg)
         self._tdc = jnp.asarray(tdc)
         self._dcpow = jnp.asarray(dcpow)
