@@ -394,8 +394,29 @@ class Analyzer:
             agc_enabled=self.profile.agc,
             seekable=self.source.seekable,
             has_time=self.profile.start_time > 0,
+            source_start_time=self.profile.start_time,
+            source_end_time=(
+                self.profile.start_time
+                + self.source.total_samples / self.source.sample_rate
+                if self.profile.start_time > 0
+                and getattr(self.source, "total_samples", 0)
+                else 0.0),
             gains=dict(self.profile.gains),
         )
+
+    def get_source_time(self) -> float:
+        """Timestamp (unix seconds) of the sample at the current
+        stream position (reference Analyzer::getSourceTimeStamp,
+        Suscan/Analyzer.cpp:301-308 → suscan_analyzer_get_source_time;
+        displayed by Default/SourceTimeWidget).  Timed sources (file
+        captures with a start time) advance from their start; live
+        sources report the capture-anchored stream time."""
+        pos_t = self.source.position / self.sample_rate
+        if self.profile.start_time > 0:
+            return self.profile.start_time + pos_t
+        if self._wall0 is not None:
+            return self._wall0 + pos_t
+        return time.time()
 
     def emit_source_info(self) -> None:
         self._emit(SourceInfoMessage(info=self.source_info))

@@ -280,6 +280,10 @@ class LiveSession:
              lambda v: an.set_frequency(float(v)))
         prop("sample_rate", an.sample_rate)
         prop("state", "RUNNING")
+        # SourceTimeWidget equivalent: live source timestamp, updated
+        # every PSD tick (reference Default/SourceTimeWidget +
+        # Analyzer::getSourceTimeStamp)
+        prop("source_time", an.get_source_time())
         prop("throttle", self.profile.throttle,
              lambda v: an.set_throttle(str(v).lower() in
                                        ("1", "true", "on")))
@@ -309,6 +313,11 @@ class LiveSession:
                 break
 
     def _handle(self, msg: Message) -> None:
+        an = self.analyzer
+        if (isinstance(msg, PSDMessage) and an is not None
+                and "source_time" in self._props):
+            self._props["source_time"].set(
+                an.get_source_time(), notify=False)
         if isinstance(msg, SamplesMessage) and \
                 msg.handle == self.audio_handle:
             s = np.asarray(msg.samples, np.float32)

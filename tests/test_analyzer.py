@@ -281,3 +281,47 @@ def test_inspector_watermark_batches_samples():
            if m.handle == h]
     assert len(got) == 1
     assert abs(len(got[0].samples) - per_block) <= 1
+
+
+def test_get_source_time_tracks_stream_position():
+    """SourceTimeWidget equivalent (reference
+    Analyzer::getSourceTimeStamp, Suscan/Analyzer.cpp:301-308): timed
+    sources advance from their start time with the stream position."""
+    import time as _time
+
+    import numpy as np
+
+    from sigdigger_tpu.analyzer.engine import Analyzer
+    from sigdigger_tpu.profiles import SourceProfile
+    from sigdigger_tpu.types import AnalyzerParams
+
+    rate = 65536
+    path = _tmp = None
+    import tempfile, os
+    fd, path = tempfile.mkstemp(suffix=".cf32")
+    os.close(fd)
+    try:
+        x = np.zeros(rate * 2, np.complex64)
+        x.tofile(path)
+        t0 = 1_700_000_000.0
+        prof = SourceProfile(type="file", path=path, sample_rate=rate,
+                             start_time=t0)
+        params = AnalyzerParams()
+        params.window_size = 1024
+        an = Analyzer(profile=prof, params=params, block_size=8192)
+        assert abs(an.get_source_time() - t0) < 1e-6
+        info = an.source_info
+        assert info.has_time and info.source_start_time == t0
+        assert abs(info.source_end_time - (t0 + 2.0)) < 1e-6
+        for _ in range(4):
+            an.step()
+        assert abs(an.get_source_time()
+                   - (t0 + 4 * 8192 / rate)) < 1e-6
+        # live (untimed) sources report capture-anchored wall time
+        prof2 = SourceProfile(type="tonegen", sample_rate=rate,
+                              tone_freq=1000.0)
+        an2 = Analyzer(profile=prof2, params=params, block_size=8192)
+        now = _time.time()
+        assert abs(an2.get_source_time() - now) < 5.0
+    finally:
+        os.unlink(path)
