@@ -56,6 +56,9 @@ def _load():
         ("sd_frame_windows_i16",
          [fp, ctypes.c_void_p, ctypes.c_void_p, i64, i64, i64,
           ctypes.c_float], None),
+        ("sd_frame_windows_i8",
+         [fp, ctypes.c_void_p, ctypes.c_void_p, i64, i64, i64,
+          ctypes.c_float], None),
         ("sd_frame_psd", [fp, fp, fp, fp, i64, i64, i64], None),
         ("sd_ring_new", [i64], ctypes.c_void_p),
         ("sd_ring_free", [ctypes.c_void_p], None),
@@ -188,6 +191,31 @@ def frame_windows_packed_i16(ext: np.ndarray, m: int, k: int, d: int,
                 casting="unsafe")
         return out
     _lib.sd_frame_windows_i16(
+        ext.view(np.float32).ctypes.data_as(
+            ctypes.POINTER(ctypes.c_float)),
+        out[:m].ctypes.data, out[m:].ctypes.data, m, k, d,
+        float(scale))
+    return out
+
+
+def frame_windows_packed_i8(ext: np.ndarray, m: int, k: int, d: int,
+                            scale: float) -> np.ndarray:
+    """:func:`frame_windows_packed` quantized to int8 (saturating,
+    ``scale`` counts per unit) — a quarter of the f32 upload bytes.
+    8 bits is the wire precision of RTL-SDR-class front ends; the
+    kernel multiplies by 1/scale after the int8 load."""
+    ext = np.ascontiguousarray(ext, np.complex64)
+    out = np.empty((2 * m, k), np.int8)
+    if _lib is None:
+        w = np.lib.stride_tricks.as_strided(
+            ext, shape=(m, k),
+            strides=(ext.strides[0] * d, ext.strides[0]))
+        np.clip(np.rint(w.real * scale), -128, 127, out[:m],
+                casting="unsafe")
+        np.clip(np.rint(w.imag * scale), -128, 127, out[m:],
+                casting="unsafe")
+        return out
+    _lib.sd_frame_windows_i8(
         ext.view(np.float32).ctypes.data_as(
             ctypes.POINTER(ctypes.c_float)),
         out[:m].ctypes.data, out[m:].ctypes.data, m, k, d,

@@ -84,6 +84,27 @@ void sd_frame_windows_i16(const float* ext_iq, int16_t* out_re,
     }
 }
 
+
+// int8 variant: half the int16 bytes again — the wire precision of
+// 8-bit SDR front ends (RTL-SDR class).  Saturating round-to-nearest.
+void sd_frame_windows_i8(const float* ext_iq, int8_t* out_re,
+                         int8_t* out_im, int64_t m, int64_t k,
+                         int64_t d, float scale) {
+    for (int64_t row = 0; row < m; ++row) {
+        const float* src = ext_iq + 2 * row * d;
+        int8_t* re = out_re + row * k;
+        int8_t* im = out_im + row * k;
+        for (int64_t j = 0; j < k; ++j) {
+            float vr = src[2 * j] * scale;
+            float vi = src[2 * j + 1] * scale;
+            vr = vr < -128.f ? -128.f : (vr > 127.f ? 127.f : vr);
+            vi = vi < -128.f ? -128.f : (vi > 127.f ? 127.f : vi);
+            re[j] = (int8_t)(vr >= 0.f ? vr + 0.5f : vr - 0.5f);
+            im[j] = (int8_t)(vi >= 0.f ? vi + 0.5f : vi - 0.5f);
+        }
+    }
+}
+
 // Non-overlapping PSD framing with window taps and the Bailey [A, F*B]
 // layout: sample f*N + a*B + b → out[a, f*B + b].
 void sd_frame_psd(const float* x_iq,      // F*N I/Q pairs

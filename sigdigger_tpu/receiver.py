@@ -70,6 +70,7 @@ class KernelReceiver:
         in_i16: bool = False,
         audio_bf16: bool = False,
         audio_decim: int = 8,
+        in_i8: bool = False,
     ) -> None:
         f0s = np.asarray(f0s, np.float64)
         n_channels = len(f0s)
@@ -92,7 +93,7 @@ class KernelReceiver:
                 taps=64, decimation=decimation, audio_taps=64,
                 audio_decim=audio_decim, block_out=block_out,
                 m_tile=m_tile, channel_tile=tile, in_i16=in_i16,
-                audio_bf16=audio_bf16,
+                in_i8=in_i8, audio_bf16=audio_bf16,
             )
             self._chan = MatChannelizer2(v2, f0s, bw,
                                          interpret=interpret,
@@ -141,7 +142,8 @@ class KernelReceiver:
             self._psd = PallasPSDFromXW(
                 psd_cfg, self.cfg.block_out, float(sample_rate),
                 WindowFunction.BLACKMANN_HARRIS, interpret=interpret,
-                in_scale=(1.0 / self._chan.cfg.i16_scale
+                in_scale=(1.0 / self._chan.cfg.i8_scale if in_i8
+                          else 1.0 / self._chan.cfg.i16_scale
                           if in_i16 else 1.0))
         else:
             self._psd = PallasPSD(

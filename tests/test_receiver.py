@@ -141,3 +141,28 @@ def test_receiver_fm_audio_decim_32():
     # modulation tone dominates everything else
     others = np.delete(spec, [f_pk - 1, f_pk, f_pk + 1])
     assert spec[f_pk] > 5 * others.max()
+
+
+def test_receiver_fm_int8_upload():
+    """in_i8=True (int8 packed uploads, the wire precision of 8-bit
+    SDR front ends): FM demod stays clean at the -36 dBFS quantization
+    floor."""
+    fs = 2_048_000.0
+    f0s = np.array([-500e3, -100e3, 300e3, 700e3])
+    rx = KernelReceiver(fs, f0s, bw=100e3, mode="fm", decimation=32,
+                        block_out=1024, psd_fft=1024, interpret=True,
+                        in_i8=True)
+    prof = SourceProfile(type="synth", sample_rate=int(fs),
+                         noise_db=-70.0)
+    src = SynthBandSource(prof, [Emitter(freq=300e3, amplitude=0.8,
+                                         fm_rate=1000.0,
+                                         fm_dev=8000.0)])
+    blocks = list(rx.run(src, max_blocks=4))
+    audio = np.concatenate([b.audio for b in blocks], axis=0)
+    a = audio[audio.shape[0] // 2:, 2]
+    spec = np.abs(np.fft.rfft(a * np.hanning(len(a))))
+    f_pk = (np.argmax(spec[2:]) + 2) * rx.audio_rate / len(a)
+    assert abs(f_pk - 1000.0) < 100.0
+    psd = np.fft.fftshift(blocks[-1].psd)
+    freqs = np.linspace(-fs / 2, fs / 2, len(psd), endpoint=False)
+    assert abs(freqs[np.argmax(psd)] - 300e3) < 9e3
