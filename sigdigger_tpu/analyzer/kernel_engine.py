@@ -237,13 +237,17 @@ class KernelAnalyzer(Analyzer):
                  pipeline_depth: int = 1,
                  in_i16: bool | None = None,
                  drain_bf16: bool | None = None,
-                 drain_pack: bool = True) -> None:
+                 drain_pack: bool = True,
+                 in_i8: bool = False) -> None:
         self._compact_cols = int(compact_cols)
         # int16 packed uploads (in-kernel dequantization at 4096
         # counts/unit — quantization floor ~-72 dBFS): defaults ON for
         # compiled TPU runs (halves H2D bytes through tunnel/PCIe),
-        # OFF under interpret so CPU tests stay exact
+        # OFF under interpret so CPU tests stay exact.  in_i8 (opt-in)
+        # quarters the f32 bytes at 64 counts/unit (~-36 dBFS — the
+        # wire precision of 8-bit SDR front ends).
         self._in_i16 = in_i16
+        self._in_i8 = bool(in_i8)
         # bf16 drains for the audio + digital compactors (raw IQ stays
         # f32 for recording fidelity); same default policy as in_i16
         self._drain_bf16 = drain_bf16
@@ -319,16 +323,17 @@ class KernelAnalyzer(Analyzer):
                 raise ValueError(
                     f"derived m_tile {m_tile} not a multiple of audio "
                     f"decimation {self._audio_decim}")
+            in_scale = 64.0 if self._in_i8 else 4096.0
             audio = AudioBank(AudioBankConfig(
                 sample_rate=rate, n_channels=self._n_slots,
                 decimation=d, audio_decim=self._audio_decim,
                 block_out=block_out, m_tile=m_tile, channel_tile=tile,
-                enable_ssb=True,
+                enable_ssb=True, in_scale=in_scale,
             ), interpret=self._interpret)
             raw = RawBank(RawBankConfig(
                 sample_rate=rate, n_channels=self._n_slots,
                 decimation=d, block_out=block_out, m_tile=m_tile,
-                channel_tile=tile,
+                channel_tile=tile, in_scale=in_scale,
             ), interpret=self._interpret)
             rec = RecoveryBank(RecoveryBankConfig(
                 n_channels=self._n_slots, block_len=block_out,
@@ -394,7 +399,8 @@ class KernelAnalyzer(Analyzer):
                         window=self.params.window_function,
                         alpha=self.params.spectrum_avg_alpha,
                         interpret=self._interpret,
-                        in_scale=(1.0 / 4096.0 if self._in_i16
+                        in_scale=(1.0 / 64.0 if self._in_i8
+                                  else 1.0 / 4096.0 if self._in_i16
                                   else 1.0),
                     )
                     self._psd_bucket = self._buckets[d]
@@ -730,7 +736,8 @@ class KernelAnalyzer(Analyzer):
             # via _dispatch_bucket below — this bucket's banks; the
             # EMA folds on device, fetched only when a message is due
             xw_shared = jax.device_put(
-                self._psd_bucket.raw.frame_packed(x, i16=self._in_i16))
+                self._psd_bucket.raw.frame_packed(
+                    x, i16=self._in_i16, i8=self._in_i8))
             self._spectrum.feed_ema(xw_shared)
         handles = [self._dispatch_bucket(
             self._buckets[d], slots, x,
@@ -802,7 +809,8 @@ class KernelAnalyzer(Analyzer):
         packed = self._mesh is None
         if packed and xw is None:
             xw = jax.device_put(
-                bucket.raw.frame_packed(x, i16=self._in_i16))
+                bucket.raw.frame_packed(x, i16=self._in_i16,
+                                        i8=self._in_i8))
         frames = None if packed else bucket.raw.frame(x)
 
         audio = None

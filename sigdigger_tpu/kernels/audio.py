@@ -100,6 +100,7 @@ class AudioBankConfig:
     sq_alpha: float = 0.5        # squelch power EMA weight per tile
     enable_ssb: bool = True      # compile the second (imag) audio plane
     fir_tile: int = 0            # banded-FIR chunk rows (0 → auto ≤256)
+    in_scale: float = 4096.0     # dequant scale for integer uploads
 
     def __post_init__(self):
         assert self.block_out % self.m_tile == 0
@@ -638,7 +639,7 @@ class AudioBank:
                     ft=cfg.fir_tile,
                     m_tiles=m_tiles, quad_gain=cfg.quad_gain,
                     ssb=cfg.enable_ssb,
-                    in_gain=1.0 / 4096.0),
+                    in_gain=1.0 / cfg.in_scale),
             grid_spec=grid_spec,
             out_shape=[
                 jax.ShapeDtypeStruct((cfg.audio_out, c), jnp.float32),

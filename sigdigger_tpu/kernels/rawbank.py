@@ -41,6 +41,9 @@ class RawBankConfig:
     block_out: int = 8192
     m_tile: int = 2048
     channel_tile: int = 128
+    # dequantization scale for integer packed uploads (counts/unit):
+    # 4096 for int16, typically 64 for int8 (frame_packed modes)
+    in_scale: float = 4096.0
 
     def __post_init__(self):
         assert self.block_out % self.m_tile == 0
@@ -197,7 +200,7 @@ class RawBank:
         c = cfg.n_channels
         call = pl.pallas_call(
             partial(_raw_kernel, m_tiles=m_tiles, mt=mt,
-                    in_gain=1.0 / 4096.0),
+                    in_gain=1.0 / cfg.in_scale),
             grid_spec=grid_spec,
             out_shape=[
                 jax.ShapeDtypeStruct((cfg.block_out, c), jnp.float32),
@@ -230,22 +233,27 @@ class RawBank:
         self._history = ext[-(cfg.taps - 1):].copy()
         return xw_re, xw_im
 
-    def frame_packed(self, x: np.ndarray,
-                     i16: bool = False) -> np.ndarray:
+    def frame_packed(self, x: np.ndarray, i16: bool = False,
+                     i8: bool = False) -> np.ndarray:
         """Host framing into ONE packed [2M, K] buffer (optionally
-        saturating int16 at 4096 counts/unit) with carried history —
-        shareable across same-shape banks AND PallasPSDFromXW."""
+        saturating int16/int8 at ``cfg.in_scale`` counts/unit) with
+        carried history — shareable across same-shape banks AND
+        PallasPSDFromXW."""
         from sigdigger_tpu.native import (
             frame_windows_packed,
+            frame_windows_packed_i8,
             frame_windows_packed_i16,
         )
 
         cfg = self.cfg
         ext = np.concatenate([self._history,
                               np.asarray(x, np.complex64)])
-        if i16:
+        if i8:
+            xw = frame_windows_packed_i8(ext, cfg.block_out, cfg.taps,
+                                         cfg.decimation, cfg.in_scale)
+        elif i16:
             xw = frame_windows_packed_i16(ext, cfg.block_out, cfg.taps,
-                                          cfg.decimation, 4096.0)
+                                          cfg.decimation, cfg.in_scale)
         else:
             xw = frame_windows_packed(ext, cfg.block_out, cfg.taps,
                                       cfg.decimation)

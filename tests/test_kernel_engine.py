@@ -622,3 +622,42 @@ def test_drainpack_lane_grouping_roundtrip():
                                rtol=1e-5, atol=4e-12)
     np.testing.assert_allclose(sec["sq"][:12], sq[0, :12],
                                rtol=1e-5, atol=4e-12)
+
+
+def test_engine_i8_upload_equivalence():
+    """in_i8=True (int8 packed uploads at 64 counts/unit): the engine
+    must match the f32 path within the -36 dBFS quantization floor on
+    FM audio and place the PSD peak on the same bin."""
+    fa, f0 = 400.0, 60e3
+
+    def run(i8):
+        an = make_engine([Emitter(freq=f0, amplitude=0.7, fm_rate=fa,
+                                  fm_dev=2000.0)],
+                         decimation=64, in_i8=i8)
+        h = an.open_inspector("audio", Channel(fc=f0, bw=12e3),
+                              config={"audio.demodulator": 2,
+                                      "audio.volume": 1.0,
+                                      "audio.sample-rate":
+                                          int(an.audio_rate)})
+        an.poll()
+        audio, peaks = [], []
+        for _ in range(6):
+            assert an.step()
+            for m in an.poll():
+                if m.kind == MessageKind.SAMPLES and m.handle == h:
+                    audio.append(m.samples)
+                elif m.kind == MessageKind.PSD:
+                    peaks.append(int(np.argmax(m.data)))
+        return np.concatenate(audio), peaks
+
+    a32, p32 = run(False)
+    a8, p8 = run(True)
+    # PSD peaks stay within the FM deviation band around the carrier
+    # (the exact in-band peak bin wanders with the EMA)
+    k0 = int((f0 + FS / 2) / FS * 4096)
+    band = int(2 * 2000.0 / FS * 4096) + 2
+    for p in (*p32, *p8):
+        assert abs(p - k0) <= band, (p, k0, band)
+    err = (a32 - a8)[64:]
+    sig = np.mean(a32[64:] ** 2)
+    assert 10 * np.log10(sig / max(np.mean(err ** 2), 1e-30)) > 20.0
