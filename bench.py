@@ -179,6 +179,37 @@ def bench_end_to_end(iters: int = 24) -> tuple[float, dict]:
     }
 
 
+def bench_e2e_i8(iters: int = 12) -> tuple[float, dict]:
+    """The same e2e path with int8 uploads (the wire precision of
+    8-bit SDR front ends, ~-36 dBFS floor) — reported alongside the
+    int16 headline, not as it."""
+    from sigdigger_tpu.receiver import KernelReceiver
+
+    rx = KernelReceiver(
+        sample_rate=SAMPLE_RATE,
+        f0s=np.linspace(-48e6, 48e6, N_CHANNELS), bw=800e3,
+        mode="fm", decimation=64, block_out=BLOCK_OUT,
+        psd_fft=PSD_FFT, interpret=False, in_i8=True,
+        audio_bf16=True, audio_decim=32,
+    )
+    blocks = _make_blocks(rx.block_in, n=iters + 2, seed=3)
+    for b in blocks[:2]:
+        rx.feed(b)
+    inflight: list = []
+    t0 = time.perf_counter()
+    for x in blocks[2:]:
+        inflight.append(rx.feed_async(x))
+        if len(inflight) >= 2:
+            rx.drain(inflight.pop(0))
+    while inflight:
+        rx.drain(inflight.pop(0))
+    dt = (time.perf_counter() - t0) / iters
+    return rx.block_in / dt / 1e6, {
+        "e2e_i8_msps": round(rx.block_in / dt / 1e6, 2),
+        "e2e_i8_ms_per_block": round(dt * 1e3, 1),
+    }
+
+
 def bench_engine(iters: int = 10) -> tuple[float, dict]:
     """The KernelAnalyzer serving path (the dynamic analyzer engine on
     the bank kernels): a mixed live session — 8 audio + 8 psk + 1
@@ -397,12 +428,13 @@ def main() -> None:
         link = link_probe()
         kernel_msps, kextra = bench_kernel()
         e2e_msps, eextra = bench_end_to_end()
+        _, i8extra = bench_e2e_i8()
         engine_msps, gextra = bench_engine()
         extra = {
             "end_to_end_msps": round(e2e_msps, 2),
             "kernel_msps": round(kernel_msps, 2),
             "engine_msps": round(engine_msps, 2),
-            **link, **eextra, **kextra, **gextra,
+            **link, **eextra, **i8extra, **kextra, **gextra,
             "channels": N_CHANNELS,
             "path": "pallas-fused-v2",
         }
