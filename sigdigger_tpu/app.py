@@ -123,7 +123,8 @@ class LiveSession:
                  waterfall_interval: float = 2.0,
                  tty: bool = False,
                  tty_file=None,
-                 engine_kw: dict[str, Any] | None = None) -> None:
+                 engine_kw: dict[str, Any] | None = None,
+                 autosave_interval: float = 1800.0) -> None:
         self.profile = profile
         self.params = params or AnalyzerParams()
         self.engine = engine
@@ -153,6 +154,11 @@ class LiveSession:
         self._stop = threading.Event()
         self._pump: threading.Thread | None = None
         self._wf_last_save = 0.0
+        # config autosave (reference SIGDIGGER_AUTOSAVE_INTERVAL_MS =
+        # 30 min, App/Application.cpp:947-950; also saved at halt like
+        # main.cpp:127-129).  <= 0 disables.
+        self.autosave_interval = float(autosave_interval)
+        self._last_autosave = time.monotonic()
         self._props: dict[str, Any] = {}
         self.eos = threading.Event()
         self.messages_seen = 0
@@ -300,6 +306,11 @@ class LiveSession:
         an = self.analyzer
         while not self._stop.is_set():
             msg = an.read(timeout=0.25)
+            if self.autosave_interval > 0 and \
+                    time.monotonic() - self._last_autosave \
+                    >= self.autosave_interval:
+                self._last_autosave = time.monotonic()
+                self._autosave()
             if msg is None:
                 continue
             self.messages_seen += 1
@@ -311,6 +322,16 @@ class LiveSession:
             elif msg.kind == MessageKind.HALT:
                 self.eos.set()
                 break
+
+    def _autosave(self) -> None:
+        from sigdigger_tpu.library import Library
+        from sigdigger_tpu.utils.logger import Logger
+
+        try:
+            Library.instance().save()
+        except OSError as e:
+            Logger.instance().warning(f"autosave failed: {e}",
+                                      domain="app")
 
     def _handle(self, msg: Message) -> None:
         an = self.analyzer
@@ -392,6 +413,8 @@ class LiveSession:
         an, self.analyzer = self.analyzer, None
         if an is not None:
             an.halt()
+        if self.autosave_interval > 0:
+            self._autosave()
         self._stop.set()
         if self._pump is not None:
             self._pump.join(timeout=5.0)

@@ -172,3 +172,32 @@ def test_build_profile_specs():
 
     with pytest.raises(FileNotFoundError):
         make_source(prof)
+
+
+def test_live_session_autosave(tmp_path, monkeypatch):
+    """Config autosave (reference SIGDIGGER_AUTOSAVE_INTERVAL_MS +
+    exit-time save): the session saves the Library periodically and
+    at halt."""
+    import time
+
+    from sigdigger_tpu.app import LiveSession
+    from sigdigger_tpu.library import Library
+    from sigdigger_tpu.profiles import SourceProfile
+
+    saves = []
+    monkeypatch.setattr(Library, "save",
+                        lambda self: saves.append(time.time()))
+    prof = SourceProfile(type="tonegen", sample_rate=65536,
+                         tone_freq=1000.0)
+    sess = LiveSession(profile=prof, engine="generic",
+                       autosave_interval=0.3)
+    sess.start()
+    try:
+        deadline = time.time() + 5.0
+        while not saves and time.time() < deadline:
+            time.sleep(0.05)
+        assert saves, "no periodic autosave"
+        n = len(saves)
+    finally:
+        sess.halt()
+    assert len(saves) > n - 1 and saves, "no exit-time save"
