@@ -295,7 +295,8 @@ def bench_engine(iters: int = 10) -> tuple[float, dict]:
         jax.block_until_ready(h.get("pack"))
         t3 = time.perf_counter()
         if "pack" in h:
-            dn_b = np.asarray(h["pack"]).nbytes
+            h["_buf"] = np.asarray(h["pack"])
+            dn_b = h["_buf"].nbytes
         t4 = time.perf_counter()
         an._drain_bucket(h)
         t5 = time.perf_counter()

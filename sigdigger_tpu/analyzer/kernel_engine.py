@@ -935,7 +935,8 @@ class KernelAnalyzer(Analyzer):
         audio_out = soft = strobe = y_re = y_im = power = None
         squelch_open = None
         if "pack" in h:
-            sec = h["packer"].fetch(h["pack"])   # the ONE round trip
+            sec = h["packer"].fetch(h["pack"],
+                                    buf=h.get("_buf"))  # ONE round trip
             n = self._n_slots
             if "audio" in sec:
                 audio_out = sec["audio"]

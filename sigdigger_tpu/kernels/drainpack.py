@@ -383,12 +383,14 @@ class DrainPacker:
                                        jnp.float32)
         return z
 
-    def fetch(self, handle) -> dict:
+    def fetch(self, handle, buf: np.ndarray | None = None) -> dict:
         """ONE D2H fetch → dequantized numpy sections (each at its own
-        section width)."""
+        section width).  ``buf`` short-circuits the fetch when the
+        caller already pulled the pack (instrumented paths)."""
         cfg = self.cfg
         mt = cfg.m_tile
-        buf = np.asarray(handle)
+        if buf is None:
+            buf = np.asarray(handle)
         lay = {name: (t0, cnt, grp)
                for name, t0, cnt, grp in cfg.sections()}
         out: dict = {}
