@@ -121,6 +121,7 @@ class LiveSession:
                  record_path: str | None = None,
                  waterfall_png: str | None = None,
                  waterfall_interval: float = 2.0,
+                 http_port: int | None = None,
                  tty: bool = False,
                  tty_file=None,
                  engine_kw: dict[str, Any] | None = None,
@@ -138,6 +139,8 @@ class LiveSession:
         self.record_path = record_path
         self.waterfall_png = waterfall_png
         self.waterfall_interval = float(waterfall_interval)
+        self.http_port = http_port
+        self.web_server = None
         self.tty = bool(tty)
         self.tty_file = tty_file or sys.stdout
         self.engine_kw = dict(engine_kw or {})
@@ -245,10 +248,16 @@ class LiveSession:
             if a.get("wav"):
                 self.wav_saver = AudioFileSaver(a["wav"], int(rate))
 
-        if self.waterfall_png or self.tty:
+        if self.waterfall_png or self.tty or \
+                self.http_port is not None:
             from sigdigger_tpu.utils.waterfall import Waterfall
 
             self.waterfall = Waterfall(bins=self.params.window_size)
+        if self.http_port is not None:
+            from sigdigger_tpu.io.webspectrum import WebSpectrumServer
+
+            self.web_server = WebSpectrumServer(
+                self.waterfall, port=self.http_port)
 
         # servers
         if self.wire_port is not None:
@@ -352,6 +361,8 @@ class LiveSession:
                 self.wav_saver.play(s)
         elif isinstance(msg, PSDMessage) and self.waterfall is not None:
             data = np.asarray(msg.data)
+            if self.web_server is not None:
+                self.web_server.feed(msg)
             if len(data) == self.waterfall.bins:
                 self.waterfall.feed(data)
                 if self.tty:
@@ -425,6 +436,9 @@ class LiveSession:
         if self.control_server is not None:
             self.control_server.close()
             self.control_server = None
+        if self.web_server is not None:
+            self.web_server.close()
+            self.web_server = None
         if self.recorder is not None:
             self.recorder.close()
             self.recorder = None

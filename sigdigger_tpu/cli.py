@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 import numpy as np
@@ -324,13 +325,17 @@ def cmd_live(args) -> int:
         user=args.user, password=args.password,
         control_port=args.control_port,
         audio=audio, record_path=args.record,
-        waterfall_png=args.waterfall, tty=args.tty)
+        waterfall_png=args.waterfall, tty=args.tty,
+        http_port=args.http)
     sess.start()
     ports = []
     if sess.wire_server is not None:
         ports.append(f"wire={sess.wire_server.address[1]}")
     if sess.control_server is not None:
         ports.append(f"control={sess.control_server.address[1]}")
+    if sess.web_server is not None:
+        ports.append(
+            f"http=http://127.0.0.1:{sess.web_server.address[1]}/")
     print(f"live: {prof.type} @ {prof.sample_rate} sps "
           f"[{' '.join(ports) or 'local only'}]", file=sys.stderr)
     try:
@@ -464,6 +469,9 @@ def build_parser() -> argparse.ArgumentParser:
                         help="enable squelch (optional power level)")
         pl.add_argument("--record", help="raw IQ recording path")
         pl.add_argument("--waterfall", help="live waterfall PNG path")
+        pl.add_argument("--http", type=int,
+                        help="serve a live web waterfall on this port "
+                             "(0 = ephemeral)")
         pl.add_argument("--tty", action="store_true",
                         help="ANSI waterfall rows on stdout")
         pl.add_argument("--loop", action="store_true")
@@ -476,6 +484,17 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv: list[str] | None = None) -> int:
+    # honor JAX_PLATFORMS even when a site plugin imported jax before
+    # this process's env was consulted (the env var alone is ignored
+    # once jax is imported — jax.config still works)
+    want = os.environ.get("JAX_PLATFORMS")
+    if want and "jax" in sys.modules:
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", want)
+        except Exception:       # noqa: BLE001 — never block the CLI
+            pass
     args = build_parser().parse_args(argv)
     return args.fn(args)
 

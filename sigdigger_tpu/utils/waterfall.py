@@ -56,9 +56,12 @@ class Waterfall:
     def save_png(self, path: str) -> None:
         write_png(path, self.to_rgb())
 
+    def png_bytes(self) -> bytes:
+        return png_bytes(self.to_rgb())
 
-def write_png(path: str, rgb: np.ndarray) -> None:
-    """Minimal RGB8 PNG encoder."""
+
+def png_bytes(rgb: np.ndarray) -> bytes:
+    """Minimal RGB8 PNG encoder (in-memory)."""
     rgb = np.asarray(rgb, np.uint8)
     if rgb.ndim != 3 or rgb.shape[2] != 3:
         raise ValueError("expected [H, W, 3] uint8")
@@ -70,9 +73,14 @@ def write_png(path: str, rgb: np.ndarray) -> None:
             struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
 
     raw = b"".join(b"\x00" + rgb[y].tobytes() for y in range(h))
+    return (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2,
+                                         0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(raw, 6))
+            + chunk(b"IEND", b""))
+
+
+def write_png(path: str, rgb: np.ndarray) -> None:
+    """Minimal RGB8 PNG encoder (file)."""
     with open(path, "wb") as f:
-        f.write(b"\x89PNG\r\n\x1a\n")
-        f.write(chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2,
-                                           0, 0, 0)))
-        f.write(chunk(b"IDAT", zlib.compress(raw, 6)))
-        f.write(chunk(b"IEND", b""))
+        f.write(png_bytes(rgb))

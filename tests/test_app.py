@@ -201,3 +201,44 @@ def test_live_session_autosave(tmp_path, monkeypatch):
     finally:
         sess.halt()
     assert len(saves) > n - 1 and saves, "no exit-time save"
+
+
+def test_live_session_web_spectrum():
+    """Live web waterfall (headless MainSpectrum): /psd.json carries
+    the running PSD and /waterfall.png renders the raster."""
+    import json
+    import time
+    import urllib.request
+
+    from sigdigger_tpu.app import LiveSession
+    from sigdigger_tpu.profiles import SourceProfile
+
+    prof = SourceProfile(type="tonegen", sample_rate=262_144,
+                         tone_freq=50_000.0)
+    sess = LiveSession(profile=prof, engine="generic", http_port=0)
+    sess.start()
+    try:
+        port = sess.web_server.address[1]
+        deadline = time.time() + 10.0
+        meta = {}
+        while time.time() < deadline:
+            with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/psd.json",
+                    timeout=5) as r:
+                meta = json.loads(r.read())
+            if meta.get("rows", 0) > 0:
+                break
+            time.sleep(0.2)
+        assert meta.get("rows", 0) > 0, meta
+        assert abs(meta["peak_freq"] - 50_000.0) < 2_000.0
+        assert len(meta["psd_db"]) == meta["fft_size"]
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/waterfall.png",
+                timeout=5) as r:
+            png = r.read()
+        assert png.startswith(b"\x89PNG")
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/", timeout=5) as r:
+            assert b"sigdigger_tpu" in r.read()
+    finally:
+        sess.halt()
