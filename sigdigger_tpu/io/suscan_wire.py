@@ -58,6 +58,7 @@ from sigdigger_tpu.analyzer.messages import (
     InspectorMessageKind,
     Message,
     MessageKind,
+    OrbitReport,
     PSDMessage,
     SamplesMessage,
     SourceInfoMessage,
@@ -281,7 +282,15 @@ def encode_message(msg: Message) -> bytes:
                 msg.config.as_dict() if msg.config is not None else None,
                 msg.equiv_rate, msg.bandwidth, msg.lo,
                 msg.estimator_id, msg.estimator_value,
-                _pack_array(msg.spectrum_data), msg.spectrum_rate]
+                _pack_array(msg.spectrum_data), msg.spectrum_rate,
+                # trailing optional: ORBIT_REPORT payload (rx_time,
+                # az, el, dist_km, freq_corr_hz, vlos_kms)
+                ([msg.payload.rx_time, msg.payload.azimuth_deg,
+                  msg.payload.elevation_deg, msg.payload.distance_km,
+                  msg.payload.freq_corr_hz, msg.payload.vlos_vel_kms]
+                 if msg.inspector_kind
+                 == InspectorMessageKind.ORBIT_REPORT
+                 and msg.payload is not None else None)]
     elif isinstance(msg, SourceInfoMessage):
         info = msg.info
         d = {k: v for k, v in vars(info).items()} if info else {}
@@ -324,6 +333,9 @@ def decode_message(fields: list[Any]) -> Message:
             config=cfg, equiv_rate=body[6], bandwidth=body[7], lo=body[8],
             estimator_id=body[9], estimator_value=body[10],
             spectrum_data=_unpack_array(body[11]), spectrum_rate=body[12],
+            payload=(OrbitReport(*body[13])
+                     if len(body) > 13 and body[13] is not None
+                     else None),
             timestamp=timestamp)
     if kind == MessageKind.SOURCE_INFO:
         info = SourceInfo(**{k: v for k, v in body[0].items()

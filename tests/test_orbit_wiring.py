@@ -163,3 +163,36 @@ def test_wire_protocol_doppler_roundtrip():
         cli.close()
     finally:
         srv.close()
+
+
+def test_orbit_report_roundtrips_the_wire():
+    """ORBIT_REPORT payloads must survive the remote-analyzer wire
+    (the reference streams OrbitReport in InspectorMessages,
+    include/Suscan/Messages/InspectorMessage.h:33-77)."""
+    from sigdigger_tpu.analyzer.messages import (
+        InspectorMessage,
+        OrbitReport,
+    )
+    from sigdigger_tpu.io.suscan_wire import (
+        decode_call,
+        decode_message,
+        encode_message,
+    )
+
+    rep = OrbitReport(rx_time=1.7e9, azimuth_deg=123.4,
+                      elevation_deg=45.6, distance_km=789.0,
+                      freq_corr_hz=-4321.0, vlos_vel_kms=6.5)
+    msg = InspectorMessage(
+        inspector_kind=InspectorMessageKind.ORBIT_REPORT,
+        handle=3, inspector_id=3, class_name="audio", lo=40e3,
+        payload=rep)
+    _, fields = decode_call(encode_message(msg))
+    got = decode_message(fields)
+    assert got.inspector_kind == InspectorMessageKind.ORBIT_REPORT
+    assert got.payload == rep
+    # non-orbit messages keep a None payload
+    m2 = InspectorMessage(
+        inspector_kind=InspectorMessageKind.SET_FREQ, handle=3,
+        lo=41e3)
+    _, f2 = decode_call(encode_message(m2))
+    assert decode_message(f2).payload is None
