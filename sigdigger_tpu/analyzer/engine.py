@@ -592,11 +592,17 @@ class Analyzer:
 
     def _apply_doppler(self, slot: _InspectorSlot,
                        rx_time: float) -> None:
-        info = slot.orbit.predict(rx_time,
-                                  self.profile.freq + slot.lo)
+        # snapshot the predictor under the lock: a control thread may
+        # disable the correction (slot.orbit = None) concurrently
+        with self._lock:
+            pred = slot.orbit
+        if pred is None:
+            return
+        info = pred.predict(rx_time, self.profile.freq + slot.lo)
         corr = float(info.doppler_hz)
         with self._lock:
-            if slot.handle not in self._inspectors:
+            if slot.handle not in self._inspectors or \
+                    slot.orbit is None:
                 return
             # skip sub-Hz retunes (control-rate discipline)
             if abs(corr - slot.orbit_corr) >= 1.0:
@@ -619,8 +625,9 @@ class Analyzer:
                 )))
 
     def _apply_orbit_corrections(self) -> None:
-        orbiting = [s for s in self._inspectors.values()
-                    if s.orbit is not None]
+        with self._lock:       # control threads mutate _inspectors
+            orbiting = [s for s in self._inspectors.values()
+                        if s.orbit is not None]
         if not orbiting:
             return
         rx_time = self._rx_time()
@@ -630,23 +637,30 @@ class Analyzer:
     def _emit_samples(self, slot: _InspectorSlot, samples, extras,
                       now: float) -> None:
         """Emit one SamplesMessage, honoring the slot watermark."""
-        if slot.watermark <= 1 and not slot.wm_buf:
-            self._emit(SamplesMessage(
-                inspector_id=slot.inspector_id, handle=slot.handle,
-                samples=samples, extras=extras, timestamp=now))
-            return
-        slot.wm_buf.append((samples, extras))
-        slot.wm_count += len(samples)
-        if slot.wm_count < slot.watermark:
+        with self._lock:        # wm_buf is flushed by control threads
+            if slot.watermark <= 1 and not slot.wm_buf:
+                msg = SamplesMessage(
+                    inspector_id=slot.inspector_id, handle=slot.handle,
+                    samples=samples, extras=extras, timestamp=now)
+                buffered = False
+            else:
+                slot.wm_buf.append((samples, extras))
+                slot.wm_count += len(samples)
+                if slot.wm_count < slot.watermark:
+                    return
+                buffered = True
+        if not buffered:
+            self._emit(msg)
             return
         self._flush_watermark(slot, now)
 
     def _flush_watermark(self, slot: _InspectorSlot, now: float) -> None:
-        if not slot.wm_buf:
-            return
-        parts = slot.wm_buf
-        slot.wm_buf = []
-        slot.wm_count = 0
+        with self._lock:
+            if not slot.wm_buf:
+                return
+            parts = slot.wm_buf
+            slot.wm_buf = []
+            slot.wm_count = 0
         samples = np.concatenate([np.atleast_1d(s) for s, _ in parts])
         extras: dict[str, Any] = {}
         for _, e in parts:

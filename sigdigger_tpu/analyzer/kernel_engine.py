@@ -572,8 +572,10 @@ class KernelAnalyzer(Analyzer):
                 squelch=bool(c["audio.squelch"]),
                 squelch_level=float(c["audio.squelch-level"]),
                 agc=bool(c["agc.enabled"]),
+                # 0.0 restores the bank's default squelch-EMA constant
+                # (None would leave a stale agc.ts driving it forever)
                 agc_ts=(float(c["agc.ts"])
-                        if bool(c["agc.enabled"]) else None),
+                        if bool(c["agc.enabled"]) else 0.0),
                 reset_state=reset_state)
             target = float(c["audio.sample-rate"])
             ks.resampler = (_HostResampler(bucket.audio_rate, target)
@@ -975,6 +977,7 @@ class KernelAnalyzer(Analyzer):
             # it (one RTT per fetch through the tunnel)
             if "power" in h and any(
                     s.class_name == "raw"
+                    and s.handle in self._kslots
                     and bool(
                         self._kslots[s.handle].config["agc.enabled"])
                     for s in slots):
@@ -983,20 +986,35 @@ class KernelAnalyzer(Analyzer):
         msgs = []
         pmaps = h.get("pmaps")
         for slot in slots:
-            ks = self._kslots[slot.handle]
+            # a control thread may close a slot while its last block
+            # is still in flight (pipeline_depth > 1): closed slots
+            # simply stop producing messages (reference close
+            # semantics) instead of crashing the drain
+            ks = self._kslots.get(slot.handle)
+            if ks is None:
+                continue
             idx = cmap[ks.idx] if comp else ks.idx
             # the packed drain compacts each section at its own width
             # (kernels/drainpack.py) — demap with the per-section maps
-            # snapshotted at dispatch
+            # snapshotted at dispatch; a slot missing from its class
+            # map (membership changed mid-flight) skips that section
+            # for this lagged block rather than indexing a wrong column
             if "pack" in h:
-                a_idx = pmaps["audio"].get(ks.idx, idx)
-                d_idx = pmaps["digital"].get(ks.idx, idx)
-                r_idx = pmaps["raw"].get(ks.idx, idx)
+                a_idx = pmaps["audio"].get(ks.idx)
+                d_idx = pmaps["digital"].get(ks.idx)
+                r_idx = pmaps["raw"].get(ks.idx)
+                if slot.class_name == "audio" and a_idx is None:
+                    continue
+                if slot.class_name in _DIGITAL and d_idx is None:
+                    continue
+                if slot.class_name in ("raw", "power") and \
+                        r_idx is None:
+                    continue
             else:
                 a_idx = d_idx = r_idx = idx
             c = ks.config
             raw_col = None
-            if y_re is not None and (
+            if y_re is not None and r_idx is not None and (
                     slot.class_name in ("raw", "power")
                     or slot.estimators or slot.spectrum_source):
                 raw_col = (y_re[:, r_idx]

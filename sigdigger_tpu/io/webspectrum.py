@@ -23,7 +23,7 @@ import numpy as np
 _PAGE = b"""<!doctype html>
 <html><head><title>sigdigger_tpu live spectrum</title>
 <style>body{background:#111;color:#ddd;font-family:monospace}
-img{width:100%%;image-rendering:pixelated;border:1px solid #444}
+img{width:100%;image-rendering:pixelated;border:1px solid #444}
 </style></head><body>
 <h3>sigdigger_tpu live spectrum</h3>
 <div id=i>&nbsp;</div>

@@ -454,7 +454,8 @@ class AudioBank:
                      "_atail1", "_atail2", "_sq", "_dc"):
             v = getattr(self, name)
             if not isinstance(v, np.ndarray):
-                setattr(self, name, np.asarray(v))
+                # copy: np.asarray of a jax buffer is READ-ONLY
+                setattr(self, name, np.array(v))
 
     def _rebuild_columns(self, idx: np.ndarray) -> None:
         """Recompute mix-baked tap columns, rotation rates and the

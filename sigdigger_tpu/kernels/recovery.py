@@ -394,7 +394,9 @@ class RecoveryBank:
         if reset_state and not isinstance(self.state, np.ndarray):
             # state is device-resident in steady state; pull it back to
             # mutable numpy for the (rare) per-slot reset
-            self.state = np.asarray(self.state)
+            # np.array (copy): np.asarray of a jax buffer is a
+            # READ-ONLY view — per-column resets must mutate it
+            self.state = np.array(self.state)
         for i in np.asarray(idx).ravel():
             a, b = loop_gains(float(self._loop_bw[i]))
             self._alpha[i] = a

@@ -9,6 +9,7 @@ export PNG (self-contained encoder — zlib + struct only).
 from __future__ import annotations
 
 import struct
+import threading
 import zlib
 
 import numpy as np
@@ -26,29 +27,37 @@ class Waterfall:
         self.db_range = float(db_range)
         self._rows: list[np.ndarray] = []
         self._ref_db = None
+        # feeders (analyzer/pump thread) and renderers (HTTP threads)
+        # run concurrently
+        self._lk = threading.Lock()
 
     def feed(self, psd: np.ndarray) -> None:
         """One display-order linear-power PSD row."""
         db = 10.0 * np.log10(np.asarray(psd, np.float64) + 1e-30)
         peak = float(db.max())
-        if self._ref_db is None:
-            self._ref_db = peak
-        else:
-            self._ref_db += 0.05 * (peak - self._ref_db)
-        self._rows.append(db.astype(np.float32))
-        if len(self._rows) > self.max_rows:
-            del self._rows[: len(self._rows) - self.max_rows]
+        with self._lk:
+            if self._ref_db is None:
+                self._ref_db = peak
+            else:
+                self._ref_db += 0.05 * (peak - self._ref_db)
+            self._rows.append(db.astype(np.float32))
+            if len(self._rows) > self.max_rows:
+                del self._rows[: len(self._rows) - self.max_rows]
 
     @property
     def rows(self) -> int:
         return len(self._rows)
 
     def to_rgb(self) -> np.ndarray:
-        """[rows, bins, 3] uint8 image (newest row last)."""
-        if not self._rows:
-            return np.zeros((0, self.bins, 3), np.uint8)
-        img_db = np.stack(self._rows)
-        top = self._ref_db if self._ref_db is not None else img_db.max()
+        """[rows, bins, 3] uint8 image (newest row last; a 1-row black
+        raster before the first feed so PNG consumers never see a
+        zero-height image)."""
+        with self._lk:
+            if not self._rows:
+                return np.zeros((1, self.bins, 3), np.uint8)
+            img_db = np.stack(self._rows)
+            top = self._ref_db if self._ref_db is not None \
+                else img_db.max()
         norm = (img_db - (top - self.db_range)) / self.db_range
         idx = np.clip(norm * 255.0, 0, 255).astype(np.uint8)
         return self.palette.gradient[idx]

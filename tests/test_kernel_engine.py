@@ -661,3 +661,63 @@ def test_engine_i8_upload_equivalence():
     err = (a32 - a8)[64:]
     sig = np.mean(a32[64:] ** 2)
     assert 10 * np.log10(sig / max(np.mean(err ** 2), 1e-30)) > 20.0
+
+
+def test_close_inspector_with_blocks_in_flight():
+    """pipeline_depth=2: closing a slot whose last block is still in
+    flight must not crash the drain — the closed slot simply stops
+    producing messages (reference close semantics)."""
+    an = make_engine(
+        [Emitter(freq=60e3, amplitude=1.0, fm_rate=300.0,
+                 fm_dev=2000.0),
+         Emitter(freq=-50e3, amplitude=1.0, kind="psk", order=4,
+                 baud=2000.0, seed=9)],
+        n_slots=128, pipeline_depth=2)
+    h_a = an.open_inspector(
+        "audio", Channel(fc=60e3, bw=12e3),
+        config={"audio.demodulator": 2,
+                "audio.sample-rate": an.audio_rate})
+    h_p = an.open_inspector("psk", Channel(fc=-50e3, bw=6e3),
+                            config={"clock.baud": 2000.0})
+    an.poll()
+    assert an.step()               # block 0 in flight
+    an.close_inspector(h_p)        # close while in flight
+    assert an.step()               # drains block 0 — must not raise
+    assert an.step()
+    msgs = an.poll()
+    closed = [m for m in msgs
+              if m.kind == MessageKind.SAMPLES and m.handle == h_p]
+    assert not closed
+    alive = [m for m in msgs
+             if m.kind == MessageKind.SAMPLES and m.handle == h_a]
+    assert alive
+
+
+def test_open_inspector_after_steps():
+    """Opening a psk/audio inspector AFTER the engine has stepped must
+    work: the reset paths mutate bank state that has gone
+    device-resident (np.asarray of a jax buffer is read-only — the
+    materialize paths must copy)."""
+    an = make_engine([Emitter(freq=60e3, amplitude=1.0, fm_rate=300.0,
+                              fm_dev=2000.0),
+                      Emitter(freq=-50e3, amplitude=1.0, kind="psk",
+                              order=4, baud=2000.0, seed=9)])
+    h0 = an.open_inspector("audio", Channel(fc=60e3, bw=12e3),
+                           config={"audio.demodulator": 2,
+                                   "audio.sample-rate": an.audio_rate})
+    an.poll()
+    for _ in range(2):
+        assert an.step()
+    # state is now device-resident; these opens reset per-slot state
+    h1 = an.open_inspector("psk", Channel(fc=-50e3, bw=6e3),
+                           config={"clock.baud": 2000.0})
+    h2 = an.open_inspector("audio", Channel(fc=55e3, bw=8e3),
+                           config={"audio.demodulator": 2,
+                                   "audio.sample-rate": an.audio_rate})
+    an.poll()
+    got = set()
+    for _ in range(3):
+        assert an.step()
+        got |= {m.handle for m in an.poll()
+                if m.kind == MessageKind.SAMPLES}
+    assert {h0, h1, h2} <= got
