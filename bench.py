@@ -423,6 +423,10 @@ def bench_cpu() -> tuple[float, dict]:
 def main() -> None:
     import jax
 
+    from sigdigger_tpu.utils.compile_cache import enable as _cc
+
+    _cc()   # cross-process compile cache (remote compiles are ~40-90 s)
+
     backend = jax.default_backend()
     if backend in ("tpu", "axon"):
         # NO fallback: a TPU-path failure must fail the bench loudly.

@@ -27,6 +27,10 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from sigdigger_tpu.utils.compile_cache import enable as _enable_cache
+
+_enable_cache()
+
 SAMPLE_RATE = 102_400_000.0
 N_CHANNELS = 1024
 BLOCK_OUT = 8192

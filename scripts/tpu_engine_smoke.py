@@ -16,6 +16,10 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from sigdigger_tpu.utils.compile_cache import enable as _enable_cache
+
+_enable_cache()
+
 
 def main() -> None:
     import jax
