@@ -318,8 +318,13 @@ def cmd_live(args) -> int:
                  "squelch_level": args.squelch or 0.0}
         if args.audio_wav:
             audio["wav"] = args.audio_wav
+    engine_kw = {"pipeline_depth": args.depth,
+                 "decimation": args.decimation}
+    if args.i8:
+        engine_kw["in_i8"] = True
     sess = LiveSession(
         prof, params=params, engine=args.engine,
+        engine_kw=engine_kw,
         block_size=args.block_size,
         wire_port=args.port, wire_host=args.host,
         user=args.user, password=args.password,
@@ -450,6 +455,13 @@ def build_parser() -> argparse.ArgumentParser:
         pl.add_argument("--engine",
                         choices=["auto", "kernel", "generic"],
                         default="auto")
+        pl.add_argument("--i8", action="store_true",
+                        help="int8 device uploads (8-bit SDR wire "
+                             "precision; quarters the H2D bytes)")
+        pl.add_argument("--depth", type=int, default=2,
+                        help="block pipeline depth (kernel engine)")
+        pl.add_argument("--decimation", type=int, default=16,
+                        help="channel decimation class (kernel engine)")
         pl.add_argument("--port", type=int,
                         help="suscan-wire server port (0 = ephemeral)")
         pl.add_argument("--host", default="127.0.0.1")
