@@ -133,7 +133,6 @@ def test_kernel_engine_tracks_doppler():
 
 def test_wire_protocol_doppler_roundtrip():
     """SET_INSPECTOR_DOPPLER / DISABLE over the suscan-wire server."""
-    import queue
     import time
 
     from sigdigger_tpu.io.suscan_wire import (
