@@ -3,9 +3,13 @@
 Each Pallas kernel compiles via the axon remote helper (~40-90 s per
 unseen program); without a persistent cache every PROCESS pays that
 again.  Enabling JAX's on-disk cache makes compiles cross-process:
-verified on this backend (first call 0.53 s → 0.03 s in a fresh
-process).  bench.py and the TPU scripts call :func:`enable` before
-building kernels so driver runs hit the cache a prior session warmed.
+verified for small programs on this backend (first call 0.53 s →
+0.03 s in a fresh process), and the large Pallas programs do land in
+the cache — though the axon remote path has been observed to still
+spend minutes on some warm-cache runs (server-side state, not
+controllable from here).  Kept because it never hurts, always helps
+CPU/test runs, and bounds the best case; bench.py and the TPU scripts
+call :func:`enable` before building kernels.
 """
 
 from __future__ import annotations
