@@ -492,7 +492,92 @@ def build_parser() -> argparse.ArgumentParser:
         pl.add_argument("--duration", type=float,
                         help="stop after N seconds")
         pl.set_defaults(fn=cmd_live)
+
+    pr = sub.add_parser("remote",
+                        help="connect to a live session's wire server "
+                             "(headless QuickConnect)")
+    pr.add_argument("host")
+    pr.add_argument("port", type=int)
+    pr.add_argument("--user", default="")
+    pr.add_argument("--password", default="")
+    pr.add_argument("--freq", type=float,
+                    help="retune the remote source first")
+    pr.add_argument("--audio", type=float, metavar="FC",
+                    help="open a remote audio inspector at FC Hz")
+    pr.add_argument("--mode", choices=["am", "fm", "usb", "lsb",
+                                       "raw"], default="fm")
+    pr.add_argument("--bw", type=float, default=12500.0)
+    pr.add_argument("--audio-rate", type=int, default=44100)
+    pr.add_argument("-o", "--output", help="record audio to WAV")
+    pr.add_argument("--every", type=int, default=1,
+                    help="print every Nth PSD")
+    pr.add_argument("--duration", type=float, default=10.0)
+    pr.set_defaults(fn=cmd_remote)
     return p
+
+
+def cmd_remote(args) -> int:
+    """Headless QuickConnect (reference Components/QuickConnectDialog +
+    the remote-analyzer protocol): connect to a live session's
+    suscan-wire server, optionally retune / open an audio inspector,
+    and stream PSD peaks (and demodulated audio to WAV)."""
+    import time
+
+    from sigdigger_tpu.analyzer.messages import MessageKind
+    from sigdigger_tpu.io.suscan_wire import SuscanWireClient
+    from sigdigger_tpu.types import Channel
+
+    cli = SuscanWireClient(args.host, args.port, user=args.user,
+                           password=args.password)
+    print(f"connected: {cli.server_name} "
+          f"(protocol {cli.protocol_major}.{cli.protocol_minor})",
+          file=sys.stderr)
+    if args.freq is not None:
+        cli.set_frequency(args.freq)
+    writer = None
+    if args.audio is not None:
+        cli.open_inspector("audio", Channel(fc=args.audio, bw=args.bw),
+                           request_id=1,
+                           config={"audio.demodulator":
+                                   {"am": 1, "fm": 2, "usb": 3,
+                                    "lsb": 4, "raw": 5}[args.mode]})
+        if args.output:
+            from sigdigger_tpu.io.wav import WavWriter
+
+            writer = WavWriter(args.output, int(args.audio_rate),
+                               channels=1)
+    deadline = time.time() + args.duration
+    psd_seen = samples = 0
+    try:
+        while time.time() < deadline:
+            m = cli.read(timeout=0.5)
+            if m is None:
+                continue
+            if m.kind == MessageKind.PSD and m.data is not None:
+                psd_seen += 1
+                if psd_seen % max(1, args.every) == 0:
+                    d = np.asarray(m.data, np.float64)
+                    k = int(np.argmax(d))
+                    n = len(d)
+                    pk = m.frequency + (k - n // 2) \
+                        * m.sample_rate / n
+                    db = 10.0 * np.log10(d[k] + 1e-30)
+                    print(f"psd {psd_seen}: peak {pk / 1e6:.4f} MHz "
+                          f"{db:.1f} dB")
+            elif m.kind == MessageKind.SAMPLES:
+                samples += len(np.atleast_1d(m.samples))
+                if writer is not None:
+                    writer.write(np.real(np.asarray(m.samples,
+                                                    np.complex64)))
+    except KeyboardInterrupt:
+        pass
+    finally:
+        if writer is not None:
+            writer.close()
+        cli.close()
+    print(f"{psd_seen} PSD messages, {samples} samples",
+          file=sys.stderr)
+    return 0
 
 
 def main(argv: list[str] | None = None) -> int:

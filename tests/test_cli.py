@@ -117,3 +117,37 @@ def test_cli_live(tmp_path, capsys):
 
     audio, rate = read_wav(str(wav))
     assert rate == 8000 and len(audio) > 0
+
+
+def test_cli_remote_quickconnect(tmp_path):
+    """Headless QuickConnect: `remote` connects to a live session's
+    wire server, streams PSD peaks and records remote audio."""
+    import contextlib
+    import io
+    import time
+
+    from sigdigger_tpu import cli
+    from sigdigger_tpu.app import LiveSession
+    from sigdigger_tpu.profiles import SourceProfile
+
+    prof = SourceProfile(type="tonegen", sample_rate=262_144,
+                         tone_freq=40_000.0)
+    sess = LiveSession(profile=prof, engine="generic", wire_port=0)
+    sess.start()
+    try:
+        time.sleep(0.5)
+        port = sess.wire_server.address[1]
+        wav = str(tmp_path / "remote.wav")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            rc = cli.main(["remote", "127.0.0.1", str(port),
+                           "--audio", "40000", "--mode", "fm",
+                           "--duration", "3", "-o", wav])
+    finally:
+        sess.halt()
+    assert rc == 0
+    assert "peak 0.0400 MHz" in buf.getvalue()
+    from sigdigger_tpu.sources import guess_metadata, make_source
+
+    src = make_source(guess_metadata(wav))
+    assert src.total_samples > 1000
