@@ -194,6 +194,10 @@ class _Bucket:
         self.comp_digital = None
         self.comp_raw = None
         self.comp_audio = None
+        # time-sharded wrappers (("time","ch") mesh; parallel/timebanks)
+        self.t_raw = None
+        self.t_audio = None
+        self.t_rec = None
         self.cmap: dict[int, int] = {}
         self.active: list[int] = []
         # per-section active slot lists (the DrainPacker packs each
@@ -286,6 +290,14 @@ class KernelAnalyzer(Analyzer):
             self._in_i16 = not itp
         if self._drain_bf16 is None:
             self._drain_bf16 = not itp
+        # a ("time", "ch") mesh time-shards one wideband stream ON the
+        # bank path (parallel/timebanks.py wrappers): RawBank stateless
+        # split, AudioBank input halos (FM/RAW exact), RecoveryBank
+        # exact turn-taking handoff.  A plain ("ch",) mesh keeps the
+        # zero-comm channel sharding.
+        self._tmesh = (self._mesh is not None
+                       and "time" in self._mesh.axis_names
+                       and self._mesh.shape["time"] > 1)
         n_mesh = self._mesh.shape["ch"] if self._mesh is not None else 1
         if self._n_slots % max(n_mesh, 1):
             raise ValueError(
@@ -339,7 +351,18 @@ class KernelAnalyzer(Analyzer):
                 n_channels=self._n_slots, block_len=block_out,
                 channel_tile=tile,
             ), interpret=self._interpret)
-            if self._mesh is not None:
+            t_raw = t_audio = t_rec = None
+            if self._tmesh:
+                from sigdigger_tpu.parallel.timebanks import (
+                    TimeShardedAudioBank,
+                    TimeShardedRawBank,
+                    TimeShardedRecoveryBank,
+                )
+
+                t_raw = TimeShardedRawBank(raw, self._mesh)
+                t_audio = TimeShardedAudioBank(audio, self._mesh)
+                t_rec = TimeShardedRecoveryBank(rec, self._mesh)
+            elif self._mesh is not None:
                 # scale-out: channel-shard the banks (parallel/banks.py;
                 # zero per-step comm on the channel axis)
                 from sigdigger_tpu.parallel.banks import (
@@ -352,6 +375,8 @@ class KernelAnalyzer(Analyzer):
                 shard_raw_bank(raw, self._mesh)
                 shard_recovery_bank(rec, self._mesh)
             bucket = _Bucket(d, raw, audio, rec, self._n_slots)
+            bucket.t_raw, bucket.t_audio, bucket.t_rec = \
+                t_raw, t_audio, t_rec
             if (self._mesh is None and self._compact_cols > 0
                     and self._n_slots > self._compact_cols):
                 w = self._compact_cols
@@ -808,6 +833,26 @@ class KernelAnalyzer(Analyzer):
         h: dict = {"bucket": bucket, "slots": slots, "comp": comp,
                    "cmap": dict(bucket.cmap),
                    "need_host_raw": need_host_raw}
+        if self._tmesh:
+            # ("time","ch") mesh: the time-sharded wrappers own their
+            # framing (input halos for the fused audio chain) — full
+            # planes cross to the host, no compaction/packing
+            audio = None
+            if any_audio:
+                h["audio"] = bucket.t_audio.feed(x, fetch=False)
+                h["sq"] = bucket.audio._sq
+                h["sq_level"] = bucket.audio._sq_level.copy()
+                h["squelch"] = bucket.audio._squelch.copy()
+            y_re = y_im = None
+            if need_host_raw or any_digital:
+                y_re, y_im = bucket.t_raw.feed(x, fetch=False)
+            if any_digital:
+                h["dig"] = bucket.t_rec.feed_planes(y_re, y_im,
+                                                    fetch=False)
+            if need_host_raw:
+                h["raw"] = (y_re, y_im)
+                h["power"] = bucket.raw._power_dev
+            return h
         packed = self._mesh is None
         if packed and xw is None:
             xw = jax.device_put(

@@ -20,10 +20,15 @@ DEFAULT_DIR = os.path.expanduser("~/.cache/sigdigger_tpu_xla")
 
 
 def enable(path: str | None = None) -> str | None:
-    """Turn on the persistent compilation cache (idempotent, safe on
-    any backend).  Returns the cache dir, or None if jax refused."""
+    """Turn on the persistent compilation cache (idempotent).  TPU
+    backends only: cached CPU AOT executables carry host machine
+    features and XLA warns they can SIGILL on a mismatched host —
+    and CPU compiles are cheap anyway.  Returns the cache dir, or
+    None when skipped/refused."""
     import jax
 
+    if jax.default_backend() not in ("tpu", "axon"):
+        return None
     path = path or os.environ.get("SIGDIGGER_XLA_CACHE", DEFAULT_DIR)
     try:
         os.makedirs(path, exist_ok=True)

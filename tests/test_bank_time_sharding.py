@@ -170,3 +170,78 @@ def test_psk_chain_time_sharded_exact_handoff():
 def test_time_mesh_needs_enough_devices():
     with pytest.raises(ValueError):
         make_time_ch_mesh(8, 8, devices=jax.devices())
+
+
+def test_kernel_analyzer_on_time_ch_mesh():
+    """The FULL dynamic analyzer session on a ("time","ch") mesh: one
+    wideband stream split in time on the bank path, same message
+    payloads as the single-device engine (FM exact via input halos,
+    PSK via exact turn-taking handoff)."""
+    from sigdigger_tpu.analyzer.kernel_engine import KernelAnalyzer
+    from sigdigger_tpu.analyzer.messages import MessageKind
+    from sigdigger_tpu.profiles import SourceProfile
+    from sigdigger_tpu.sources import Emitter, SynthBandSource
+    from sigdigger_tpu.types import AnalyzerParams, Channel
+
+    FS_E = 256_000
+
+    def make(mesh):
+        prof = SourceProfile(type="synth", sample_rate=FS_E, freq=0.0)
+        src = SynthBandSource(
+            prof,
+            [Emitter(freq=60e3, amplitude=1.0, fm_rate=300.0,
+                     fm_dev=2000.0),
+             Emitter(freq=-50e3, amplitude=1.0, kind="psk", order=4,
+                     baud=2000.0, seed=9)], seed=1)
+        params = AnalyzerParams()
+        params.window_size = 4096
+        return KernelAnalyzer(source=src, params=params,
+                              block_size=32768, interpret=True,
+                              decimation=16, n_slots=16, mesh=mesh)
+
+    def session(an, steps=3):
+        h_a = an.open_inspector(
+            "audio", Channel(fc=60e3, bw=12e3),
+            config={"audio.demodulator": 2, "audio.volume": 1.0,
+                    "audio.sample-rate": an.audio_rate,
+                    "audio.squelch": False})
+        h_p = an.open_inspector(
+            "psk", Channel(fc=-50e3, bw=6e3),
+            config={"afc.bits-per-symbol": 2, "clock.baud": 2000.0,
+                    "agc.enabled": False, "agc.gain": 1.0})
+        h_w = an.open_inspector("power", Channel(fc=60e3, bw=12e3))
+        an.poll()
+        out = {h_a: [], h_p: [], h_w: []}
+        strobes = []
+        psds = 0
+        for _ in range(steps):
+            assert an.step()
+            for m in an.poll():
+                if m.kind == MessageKind.SAMPLES:
+                    out[m.handle].append(np.asarray(m.samples))
+                    if m.handle == h_p:
+                        strobes.append(
+                            np.asarray(m.extras["strobes"]))
+                elif m.kind == MessageKind.PSD:
+                    psds += 1
+        assert psds >= 1
+        return ([np.concatenate(v) for v in out.values()],
+                np.concatenate(strobes))
+
+    want, st_want = session(make(None))
+    mesh = make_time_ch_mesh(4, 2)
+    got, st_got = session(make(mesh))
+    # audio (FM, halo path) matches the single-device stream exactly
+    np.testing.assert_allclose(got[0], want[0], rtol=0, atol=5e-4)
+    # Gardner strobes: the engine's reference build and the shard-local
+    # build tile the recovery kernel differently, so f32 reassociation
+    # can flip a knife-edge timing decision by one sample — allow a
+    # sub-0.5% disagreement, same total symbol count
+    assert len(st_got) == len(st_want)
+    assert abs(int(st_got.sum()) - int(st_want.sum())) <= 2
+    frac = float(np.mean(st_got != st_want))
+    assert frac < 0.005, frac
+    agree = st_got == st_want
+    np.testing.assert_allclose(got[1][agree], want[1][agree],
+                               rtol=0, atol=5e-3)
+    np.testing.assert_allclose(got[2], want[2], rtol=0, atol=5e-4)
