@@ -29,8 +29,10 @@ Deviations from the generic engine, by design:
   bandwidth — wide audio and narrow digital channels get different
   equiv_rates, quantized to the declared classes (SURVEY §7; the
   generic engine picks an arbitrary per-channel power of two);
-- audio AGC is the bank's block AGC (power-EMA rsqrt), not the
-  hang-AGC follower;
+- audio AGC is the in-kernel su_agc hang follower (kernels/audio.py
+  ``hang_agc``) on single-device sessions; meshed sessions keep the
+  bank's block power-EMA AGC (the follower state is a sequential
+  cross-shard carry);
 - host-side audio resampling to `audio.sample-rate` is linear-
   interpolation (numpy), since XLA ops are unavailable on axon.
 """
@@ -98,8 +100,10 @@ def _decide_frequency(v: np.ndarray, bits: int) -> np.ndarray:
                             bits)
 
 
-def _decide_amplitude(v: np.ndarray, bits: int) -> np.ndarray:
-    vmax = max(float(np.max(v)) if v.size else 0.0, 1e-12)
+def _decide_amplitude(v: np.ndarray, bits: int,
+                      vmax: float | None = None) -> np.ndarray:
+    if vmax is None:
+        vmax = max(float(np.max(v)) if v.size else 0.0, 1e-12)
     levels = 1 << bits
     idx = np.round(v / vmax * (levels - 1))
     return np.clip(idx, 0, levels - 1).astype(np.uint8)
@@ -144,6 +148,10 @@ class _KernelSlotExtra:
         self.offset = 0.0           # afc.offset / ask.offset (Hz)
         self.bucket = None          # _Bucket hosting this slot
         self.agc_ema: float | None = None  # digital drain AGC power EMA
+        # EMA-tracked decision ranges (stable symbol boundaries across
+        # blocks — reference Decider fixed min/max)
+        self.dec_span: float | None = None   # fsk |freq| span
+        self.dec_vmax: float | None = None   # ask amplitude max
 
 
 # config keys each inspector class honors on the kernel path; a set of
@@ -210,6 +218,12 @@ class _Bucket:
         # single-fetch drain packers, keyed (audio, digital, raw) —
         # variants compile lazily on first need (kernels/drainpack.py)
         self.packers: dict = {}
+        # device symbol-rate squeeze of the digital planes (built when
+        # the engine runs with symbol_group > 1)
+        self.squeeze = None
+        # side compactors for sections too narrow for the packer's
+        # lane grouping at large widths, keyed (section, width)
+        self.sides: dict = {}
 
     @property
     def channel_rate(self) -> float:
@@ -242,7 +256,9 @@ class KernelAnalyzer(Analyzer):
                  in_i16: bool | None = None,
                  drain_bf16: bool | None = None,
                  drain_pack: bool = True,
-                 in_i8: bool = False) -> None:
+                 in_i8: bool = False,
+                 symbol_group: int = 1,
+                 drain_thread: bool = False) -> None:
         self._compact_cols = int(compact_cols)
         # int16 packed uploads (in-kernel dequantization at 4096
         # counts/unit — quantization floor ~-72 dBFS): defaults ON for
@@ -265,7 +281,19 @@ class KernelAnalyzer(Analyzer):
         # depth-1 blocks; flushed at EOS)
         self._pipeline_depth = max(1, int(pipeline_depth))
         self._inflight: list = []
+        # symbol_group R > 1 squeezes the digital drain to ~symbol
+        # rate on device (kernels/symsqueeze.py): soft/strobe planes
+        # shrink R× before the D2H drain.  Requires sps >= R+1 on
+        # every digital inspector (validated at configure time).
+        self._symbol_group = max(1, int(symbol_group))
+        # drain_thread moves fetch + demap + message emission to a
+        # worker so the host demap overlaps the next block's framing,
+        # upload and device compute (the r4 eng_demap_ms term)
+        self._drain_thread_on = bool(drain_thread)
+        self._drain_worker = None
+        self._drain_q = None
         self._n_slots = int(n_slots)
+        self._defer_compact = False
         self._decimation = int(decimation)
         self._audio_decim = int(audio_decim)
         self._decimations = tuple(sorted(
@@ -341,6 +369,11 @@ class KernelAnalyzer(Analyzer):
                 decimation=d, audio_decim=self._audio_decim,
                 block_out=block_out, m_tile=m_tile, channel_tile=tile,
                 enable_ssb=True, in_scale=in_scale,
+                # the su_agc hang follower runs in-kernel on single-
+                # device sessions (reference Tasks/AGCTask.cpp:41-53);
+                # meshed sessions keep the block power-EMA AGC (the
+                # follower state is a sequential cross-shard carry)
+                hang_agc=self._mesh is None,
             ), interpret=self._interpret)
             raw = RawBank(RawBankConfig(
                 sample_rate=rate, n_channels=self._n_slots,
@@ -377,8 +410,18 @@ class KernelAnalyzer(Analyzer):
             bucket = _Bucket(d, raw, audio, rec, self._n_slots)
             bucket.t_raw, bucket.t_audio, bucket.t_rec = \
                 t_raw, t_audio, t_rec
+            if self._symbol_group > 1 and self._mesh is None:
+                from sigdigger_tpu.kernels.symsqueeze import (
+                    SymbolSqueeze,
+                    SymbolSqueezeConfig,
+                )
+
+                bucket.squeeze = SymbolSqueeze(SymbolSqueezeConfig(
+                    n_rows=block_out, n_channels=self._n_slots,
+                    group=self._symbol_group, channel_tile=tile),
+                    interpret=self._interpret)
             if (self._mesh is None and self._compact_cols > 0
-                    and self._n_slots > self._compact_cols):
+                    and self._n_slots >= self._compact_cols):
                 w = self._compact_cols
                 bucket.comp_digital = ColumnCompactor(
                     ColumnCompactorConfig(
@@ -461,7 +504,7 @@ class KernelAnalyzer(Analyzer):
         """Rebuild the bucket's slot->compact-column mapping (constant
         rewrite, no recompile).  When the active set outgrows the
         compact width the drain falls back to full planes."""
-        if bucket.comp_digital is None:
+        if bucket.comp_digital is None or self._defer_compact:
             return
         active = sorted(ks.idx for ks in self._kslots.values()
                         if ks.bucket is bucket)
@@ -488,6 +531,9 @@ class KernelAnalyzer(Analyzer):
                                     raw=ab["raw"])
             # else: stale variant — _get_packer's width key no longer
             # selects it
+        for (sec, w, _rows), comp in bucket.sides.items():
+            if len(bucket.active_by[sec]) <= w:
+                comp.set_mapping(bucket.active_by[sec])
 
     def _active_by(self, bucket: _Bucket) -> dict[str, list[int]]:
         by: dict[str, list[int]] = {"audio": [], "digital": [],
@@ -500,10 +546,53 @@ class KernelAnalyzer(Analyzer):
                 by["audio"].append(ks.idx)
             elif slot.class_name in _DIGITAL:
                 by["digital"].append(ks.idx)
-            if (slot.class_name in ("raw", "power") or slot.estimators
-                    or slot.spectrum_source):
+            if self._needs_host_raw(slot, ks):
                 by["raw"].append(ks.idx)
         return {k: sorted(v) for k, v in by.items()}
+
+    def _needs_host_raw(self, slot, ks: _KernelSlotExtra) -> bool:
+        """Whether this slot's raw [M] channel column must cross to the
+        host.  Power inspectors whose integration window is a whole
+        number of blocks are served by the device block-power row
+        instead (the raw planes stay on device — at 1024 open
+        inspectors the column drain would otherwise dominate)."""
+        if slot.estimators or slot.spectrum_source:
+            return True
+        if slot.class_name == "raw":
+            return True
+        if slot.class_name == "power":
+            n_int = max(1, int(ks.config["power.integrate-samples"]))
+            return n_int % ks.bucket.raw.cfg.block_out != 0
+        return False
+
+    def bulk_config(self):
+        """Context manager batching many open/close/configure calls:
+        per-channel device constant uploads and compact-map refreshes
+        are suspended and flushed ONCE on exit.  Opening ~1024
+        inspectors re-uploads the constant planes once instead of per
+        call (reference opens are individually cheap because its
+        per-inspector state is host-side; here each open rewrites
+        device-resident columns — Suscan/Analyzer.cpp:411-460)."""
+        from contextlib import contextmanager
+
+        @contextmanager
+        def _bulk():
+            banks = [b for bk in self._buckets.values()
+                     for b in (bk.raw, bk.audio, bk.rec)]
+            with self._lock:
+                for b in banks:
+                    b.begin_defer()
+                self._defer_compact = True
+            try:
+                yield
+            finally:
+                with self._lock:
+                    for b in banks:
+                        b.end_defer()
+                    self._defer_compact = False
+                    for bk in self._buckets.values():
+                        self._refresh_compact(bk)
+        return _bulk()
 
     def set_estimator(self, handle: int, estimator_id: str,
                       enabled: bool, request_id: int = 0) -> None:
@@ -631,6 +720,12 @@ class KernelAnalyzer(Analyzer):
                           fsk_phase=float(c["fsk.phase"]))
             baud = max(float(c["clock.baud"]), 1e-3)
             sps = max(2.0, bucket.channel_rate / baud)
+            if self._symbol_group > 1 and sps < self._symbol_group + 1:
+                raise ValueError(
+                    f"symbol_group={self._symbol_group} requires "
+                    f"sps >= {self._symbol_group + 1} on every digital "
+                    f"inspector (got sps={sps:.2f}); the squeezed "
+                    "drain would collide strobes")
             if loop_bw is None:
                 # the fsk contract exposes no loop key (reference
                 # InspectorCtl/FskControl.cpp); size the coherent-path
@@ -773,7 +868,11 @@ class KernelAnalyzer(Analyzer):
         self._inflight.append(handles)
         if len(self._inflight) < self._pipeline_depth:
             return []
-        return self._drain_entry(self._inflight.pop(0))
+        entry = self._inflight.pop(0)
+        if self._drain_thread_on:
+            self._queue_drain(entry)
+            return []
+        return self._drain_entry(entry)
 
     def _feed_spectrum(self, x: np.ndarray) -> None:
         if self._psd_bucket is None:
@@ -790,19 +889,77 @@ class KernelAnalyzer(Analyzer):
             out.extend(self._drain_entry(self._inflight.pop(0)))
         return out
 
+    def _emit_block_msgs(self, msgs, now: float) -> None:
+        for slot, samples, extras, raw in msgs:
+            self._emit_samples(slot, samples, extras, now)
+            if slot.estimators:
+                self._emit_estimators(slot, raw)
+            if slot.spectrum_source:
+                self._emit_inspector_spectrum(slot, raw)
+
+    # ------------------------------------------------------------------
+    # threaded drain: fetch + demap + emission run on a worker so the
+    # host-side demap overlaps the next block's framing/upload/compute
+    # (the r4 eng_demap_ms term — VERDICT r4 item 1)
+    # ------------------------------------------------------------------
+    def _queue_drain(self, entry) -> None:
+        import queue as _q
+        import threading
+
+        if self._drain_q is None:
+            # maxsize well above the step() throttle point so the
+            # producer's put() never actually blocks while holding the
+            # engine lock (the worker needs that lock to emit)
+            self._drain_q = _q.Queue(
+                maxsize=self._pipeline_depth + 6)
+            self._drain_worker = threading.Thread(
+                target=self._drain_loop, daemon=True,
+                name="kernel-drain")
+            self._drain_worker.start()
+        self._drain_q.put(entry)
+
+    def _drain_loop(self) -> None:
+        import time as _time
+
+        while True:
+            entry = self._drain_q.get()
+            if entry is None:
+                self._drain_q.task_done()
+                return
+            try:
+                msgs = self._drain_entry(entry)
+                self._emit_block_msgs(msgs, _time.time())
+            except Exception as e:  # noqa: BLE001 — worker must live
+                from sigdigger_tpu.utils.logger import Logger
+
+                Logger.instance().error(
+                    f"drain worker failed: {e!r}",
+                    domain="kernel_engine")
+            finally:
+                self._drain_q.task_done()
+
     def step(self) -> bool:
+        import time as _time
+
+        if self._drain_q is not None:
+            # backpressure OUTSIDE the engine lock: never let the
+            # drain queue grow past the pipeline depth + slack
+            while self._drain_q.qsize() > self._pipeline_depth + 2:
+                _time.sleep(0.002)
         ok = super().step()
         if not ok and self._inflight:
             # EOS with blocks still in flight: drain and emit the tail
-            import time as _time
-
-            now = _time.time()
-            for slot, samples, extras, raw in self._flush_pipeline():
-                self._emit_samples(slot, samples, extras, now)
-                if slot.estimators:
-                    self._emit_estimators(slot, raw)
-                if slot.spectrum_source:
-                    self._emit_inspector_spectrum(slot, raw)
+            entries = list(self._inflight)
+            self._inflight.clear()
+            if self._drain_thread_on and self._drain_q is not None:
+                for e in entries:
+                    self._drain_q.put(e)
+            else:
+                now = _time.time()
+                for e in entries:
+                    self._emit_block_msgs(self._drain_entry(e), now)
+        if not ok and self._drain_q is not None:
+            self._drain_q.join()   # every queued drain emitted at EOS
         return ok
 
     def _dispatch_bucket(self, bucket: _Bucket, slots: list,
@@ -818,11 +975,20 @@ class KernelAnalyzer(Analyzer):
         any_audio = any(s.class_name == "audio" for s in slots)
         any_digital = any(s.class_name in _DIGITAL for s in slots)
         # the [M, C] raw planes only cross to the host when a slot
-        # actually consumes them there (raw/power payloads, estimators,
-        # spectrum sources); the digital chain consumes them ON DEVICE
+        # actually consumes them there (raw payloads, estimators,
+        # spectrum sources, non-block-aligned power); the digital
+        # chain and block-aligned power consume them ON DEVICE
         need_host_raw = any(
-            s.class_name in ("raw", "power") or s.estimators
-            or s.spectrum_source for s in slots)
+            self._needs_host_raw(s, self._kslots[s.handle])
+            for s in slots if s.handle in self._kslots)
+        # block-aligned power slots need the RawBank DISPATCH (their
+        # channel's block-power row) but not the host plane drain
+        any_power_fast = any(
+            s.class_name == "power"
+            and s.handle in self._kslots
+            and not self._needs_host_raw(s, self._kslots[s.handle])
+            for s in slots)
+        need_raw_compute = need_host_raw or any_digital or any_power_fast
 
         # device-side column compaction: only active-slot columns cross
         # to the host (kernels/compact.py; VERDICT r2 'drain only
@@ -844,13 +1010,14 @@ class KernelAnalyzer(Analyzer):
                 h["sq_level"] = bucket.audio._sq_level.copy()
                 h["squelch"] = bucket.audio._squelch.copy()
             y_re = y_im = None
-            if need_host_raw or any_digital:
+            if need_raw_compute:
                 y_re, y_im = bucket.t_raw.feed(x, fetch=False)
             if any_digital:
                 h["dig"] = bucket.t_rec.feed_planes(y_re, y_im,
                                                     fetch=False)
             if need_host_raw:
                 h["raw"] = (y_re, y_im)
+            if need_raw_compute:
                 h["power"] = bucket.raw._power_dev
             return h
         packed = self._mesh is None
@@ -868,7 +1035,7 @@ class KernelAnalyzer(Analyzer):
             h["sq_level"] = bucket.audio._sq_level.copy()
             h["squelch"] = bucket.audio._squelch.copy()
         y_re = y_im = None
-        if need_host_raw or any_digital:
+        if need_raw_compute:
             y_re, y_im = (bucket.raw.feed_packed(xw, fetch=False)
                           if packed else
                           bucket.raw.feed_frames(*frames, fetch=False))
@@ -879,9 +1046,14 @@ class KernelAnalyzer(Analyzer):
         if comp and self._drain_pack and packed:
             # single-fetch drain: ONE dispatch packs audio + squelch +
             # power + digital + raw active columns as scaled int16 —
-            # the whole drain pays one D2H round trip
-            packer = self._get_packer(bucket, any_audio, any_digital,
-                                      need_host_raw)
+            # the whole drain pays one D2H round trip.  Sections too
+            # narrow for the packer's lane grouping at this width
+            # drain via their own int16 compactor instead (`sides`).
+            if dig is not None and bucket.squeeze is not None:
+                dig = bucket.squeeze.dispatch(*dig)
+                h["squeezed"] = True
+            packer, sides = self._get_packer(
+                bucket, any_audio, any_digital, need_host_raw)
             h["packer"] = packer
             # per-section column maps, snapshotted with the dispatch
             # (pipelined drains must demap with the maps the pack was
@@ -890,19 +1062,27 @@ class KernelAnalyzer(Analyzer):
                 sec: {idx: col for col, idx in enumerate(cols)}
                 for sec, cols in bucket.active_by.items()}
             h["pack"] = packer.dispatch(
-                audio=audio,
+                audio=audio if packer.cfg.has_audio else None,
                 sq=bucket.audio._sq if any_audio else None,
                 pw=(bucket.raw._power_dev
-                    if (need_host_raw or any_digital) else None),
-                dig=dig,
-                raw=(y_re, y_im) if need_host_raw else None)
+                    if need_raw_compute else None),
+                dig=dig if packer.cfg.has_digital else None,
+                raw=((y_re, y_im)
+                     if packer.cfg.has_raw and need_host_raw
+                     else None))
+            if sides:
+                h["sides"] = {
+                    sec: (c_, c_.dispatch(
+                        *{"audio": (audio,), "digital": tuple(dig),
+                          "raw": (y_re, y_im)}[sec]))
+                    for sec, c_ in sides.items()}
             return h
 
         if any_audio:
             h["audio"] = (bucket.comp_audio.dispatch(audio) if comp
                           else audio)
             h["sq"] = bucket.audio._sq        # this block's squelch rows
-        if need_host_raw or any_digital:
+        if need_raw_compute:
             h["power"] = bucket.raw._power_dev
         if any_digital:
             h["dig"] = (bucket.comp_digital.dispatch(*dig)
@@ -936,9 +1116,34 @@ class KernelAnalyzer(Analyzer):
             ks.agc_ema += alpha * (p - ks.agc_ema)
         return 1.0 / np.sqrt(max(ks.agc_ema, 1e-12))
 
+    def _digital_gain_power(self, ks: _KernelSlotExtra, p: float,
+                            n_elapsed: int) -> float:
+        """Same gain contract as :meth:`_digital_gain`, but the power
+        estimate is the device block-power row (pre-MF channel power)
+        — the symbol-squeezed drain has no full-rate stream on the
+        host to measure."""
+        c = ks.config
+        if not bool(c["agc.enabled"]):
+            ks.agc_ema = None
+            return float(c["agc.gain"])
+        p = max(p, 1e-12)
+        baud = max(float(c["clock.baud"]), 1e-3)
+        sps = max(2.0, ks.bucket.channel_rate / baud)
+        tau = max(float(c["agc.ts"]) * sps, 1.0)
+        alpha = 1.0 - np.exp(-n_elapsed / tau)
+        if ks.agc_ema is None:
+            ks.agc_ema = p
+        else:
+            ks.agc_ema += alpha * (p - ks.agc_ema)
+        return 1.0 / np.sqrt(max(ks.agc_ema, 1e-12))
+
     def _get_packer(self, bucket: _Bucket, any_audio: bool,
                     any_digital: bool, need_raw: bool):
         from sigdigger_tpu.kernels.drainpack import (
+            A_SCALE,
+            D_SCALE,
+            R_SCALE,
+            T_SCALE,
             DrainPacker,
             DrainPackerConfig,
         )
@@ -950,6 +1155,9 @@ class KernelAnalyzer(Analyzer):
             return w
 
         ab = bucket.active_by
+        block_out = bucket.raw.cfg.block_out
+        dig_rows = (block_out // self._symbol_group
+                    if bucket.squeeze is not None else block_out)
         w_a = w8(len(ab["audio"])) if any_audio else 0
         w_d = w8(len(ab["digital"])) if any_digital else 0
         w_r = w8(len(ab["raw"])) if need_raw else 0
@@ -957,22 +1165,84 @@ class KernelAnalyzer(Analyzer):
         # (powers of two × 8) divide it, so lane grouping always lines
         # up
         width = max(w8(len(bucket.active)), w_a, w_d, w_r)
-        key = (any_audio, any_digital, need_raw, width, w_a, w_d, w_r)
+        # a section much narrower than the buffer would need the
+        # packer to hold `width/w_s` source tiles + selection rows per
+        # output tile — past 2 lane groups that outgrows VMEM at large
+        # widths, so such sections leave the packer for their own
+        # int16 ColumnCompactor fetch (overlapped by the drain worker)
+        side_a = any_audio and width > 2 * w_a
+        side_d = any_digital and width > 2 * w_d
+        side_r = need_raw and width > 2 * w_r
+        key = (any_audio and not side_a, any_digital and not side_d,
+               need_raw and not side_r, width,
+               w_a if not side_a else 0, w_d if not side_d else 0,
+               w_r if not side_r else 0, dig_rows)
         packer = bucket.packers.get(key)
         if packer is None:
-            block_out = bucket.raw.cfg.block_out
+            audio_rows = block_out // self._audio_decim
+            # prefer small packer tiles: the 6-row status tile pads to
+            # a whole m_tile of int16 zeros (0.5 MB of drain waste at
+            # m_tile 256 × width 1024)
+            groups = []
+            if any_audio and not side_a:
+                groups.append((audio_rows, width // w_a))
+            if any_digital and not side_d:
+                groups.append((dig_rows, width // w_d))
+            if need_raw and not side_r:
+                groups.append((block_out, width // w_r))
+            m_tile = 0
+            for mt in (64, 32, 16):
+                if (audio_rows % mt or block_out % mt
+                        or dig_rows % mt):
+                    continue
+                if all((rows // mt) % g == 0 for rows, g in groups):
+                    m_tile = mt
+                    break
             packer = DrainPacker(DrainPackerConfig(
                 n_rows=block_out,
-                audio_rows=block_out // self._audio_decim,
+                audio_rows=audio_rows,
                 n_channels=self._n_slots, width=width,
-                has_audio=any_audio, has_digital=any_digital,
-                has_raw=need_raw, audio_width=w_a,
-                digital_width=w_d, raw_width=w_r),
+                has_audio=any_audio and not side_a,
+                has_digital=any_digital and not side_d,
+                has_raw=need_raw and not side_r,
+                audio_width=w_a if not side_a else 0,
+                digital_width=w_d if not side_d else 0,
+                raw_width=w_r if not side_r else 0,
+                digital_rows=dig_rows, m_tile=m_tile),
                 interpret=self._interpret)
             packer.set_mappings(bucket.active, audio=ab["audio"],
                                 digital=ab["digital"], raw=ab["raw"])
             bucket.packers[key] = packer
-        return packer
+        sides = {}
+        if side_a:
+            sides["audio"] = self._get_side(
+                bucket, "audio", w_a, block_out // self._audio_decim,
+                1, (A_SCALE,), ab["audio"])
+        if side_d:
+            sides["digital"] = self._get_side(
+                bucket, "digital", w_d, dig_rows, 3,
+                (D_SCALE, D_SCALE, T_SCALE), ab["digital"])
+        if side_r:
+            sides["raw"] = self._get_side(
+                bucket, "raw", w_r, block_out, 2,
+                (R_SCALE, R_SCALE), ab["raw"])
+        return packer, sides
+
+    def _get_side(self, bucket: _Bucket, section: str, width: int,
+                  rows: int, planes: int, scales: tuple,
+                  slots: list[int]):
+        key = (section, width, rows)
+        comp = bucket.sides.get(key)
+        if comp is None:
+            tile = (128 if self._n_slots % 128 == 0
+                    else self._n_slots)
+            comp = ColumnCompactor(ColumnCompactorConfig(
+                n_rows=rows, n_channels=self._n_slots, width=width,
+                n_planes=planes, channel_tile=tile, out_i16=True,
+                scales=scales), interpret=self._interpret)
+            comp.set_mapping(slots)
+            bucket.sides[key] = comp
+        return comp
 
     def _drain_bucket(self, h: dict) -> list:
         bucket: _Bucket = h["bucket"]
@@ -983,17 +1253,27 @@ class KernelAnalyzer(Analyzer):
         squelch_open = None
         if "pack" in h:
             sec = h["packer"].fetch(h["pack"],
-                                    buf=h.get("_buf"))  # ONE round trip
+                                    buf=h.get("_buf"))  # pack round trip
             n = self._n_slots
-            if "audio" in sec:
-                audio_out = sec["audio"]
+            audio_out = sec.get("audio")
+            soft = sec.get("soft")
+            strobe = sec.get("strobe")
+            y_re, y_im = sec.get("y_re"), sec.get("y_im")
+            # narrow sections arrive via their own compactor fetch
+            for sname, (comp, hd) in h.get("sides", {}).items():
+                planes = comp.fetch(hd)
+                if sname == "audio":
+                    audio_out = planes[0]
+                elif sname == "digital":
+                    soft = planes[0] + 1j * planes[1]
+                    strobe = planes[2] > 0.5
+                else:
+                    y_re, y_im = planes
+            if audio_out is not None:
                 sq = np.zeros(n, np.float32)     # compact → full width
                 for idx, w in cmap.items():
                     sq[idx] = sec["sq"][w]
                 squelch_open = (~h["squelch"]) | (sq >= h["sq_level"])
-            soft = sec.get("soft")
-            strobe = sec.get("strobe")
-            y_re, y_im = sec.get("y_re"), sec.get("y_im")
             power = np.zeros(n, np.float32)
             for idx, w in cmap.items():
                 power[idx] = sec["power"][w]
@@ -1018,14 +1298,18 @@ class KernelAnalyzer(Analyzer):
                     y_re, y_im = bucket.comp_raw.fetch(h["raw"])
                 else:
                     y_re, y_im = (np.asarray(a) for a in h["raw"])
-            # block power crosses only if a raw slot actually AGCs on
-            # it (one RTT per fetch through the tunnel)
-            if "power" in h and any(
-                    s.class_name == "raw"
-                    and s.handle in self._kslots
-                    and bool(
-                        self._kslots[s.handle].config["agc.enabled"])
-                    for s in slots):
+            # block power crosses only if a slot actually consumes it
+            # on the host (raw AGC, or a block-aligned power slot on
+            # the device fast path) — one RTT per fetch
+            def _uses_power(s):
+                ks = self._kslots.get(s.handle)
+                if ks is None:
+                    return False
+                if s.class_name == "raw":
+                    return bool(ks.config["agc.enabled"])
+                return (s.class_name == "power"
+                        and not self._needs_host_raw(s, ks))
+            if "power" in h and any(_uses_power(s) for s in slots):
                 power = np.asarray(h["power"])[0]
 
         msgs = []
@@ -1052,8 +1336,10 @@ class KernelAnalyzer(Analyzer):
                     continue
                 if slot.class_name in _DIGITAL and d_idx is None:
                     continue
-                if slot.class_name in ("raw", "power") and \
-                        r_idx is None:
+                if slot.class_name == "raw" and r_idx is None:
+                    continue
+                if (slot.class_name == "power" and r_idx is None
+                        and self._needs_host_raw(slot, ks)):
                     continue
             else:
                 a_idx = d_idx = r_idx = idx
@@ -1091,24 +1377,42 @@ class KernelAnalyzer(Analyzer):
                 msgs.append((slot, raw_col * np.float32(g), {}, raw_col))
             elif name == "power":
                 n_int = max(1, int(c["power.integrate-samples"]))
-                p = (raw_col.real.astype(np.float64) ** 2
-                     + raw_col.imag.astype(np.float64) ** 2)
-                out, pos = [], 0
-                while pos < len(p):
-                    take = min(n_int - ks.pw_cnt, len(p) - pos)
-                    ks.pw_acc += float(p[pos:pos + take].sum())
-                    ks.pw_cnt += take
-                    pos += take
-                    if ks.pw_cnt == n_int:
+                out = []
+                if raw_col is None:
+                    # device fast path: block-aligned integration on
+                    # the [1, C] block-power row (mean |y|² × M) —
+                    # the raw plane never crossed to the host
+                    m_blk = bucket.raw.cfg.block_out
+                    ks.pw_acc += float(power[ks.idx]) * m_blk
+                    ks.pw_cnt += m_blk
+                    if ks.pw_cnt >= n_int:
                         out.append(np.sqrt(ks.pw_acc / n_int))
                         ks.pw_acc, ks.pw_cnt = 0.0, 0
+                else:
+                    p = (raw_col.real.astype(np.float64) ** 2
+                         + raw_col.imag.astype(np.float64) ** 2)
+                    pos = 0
+                    while pos < len(p):
+                        take = min(n_int - ks.pw_cnt, len(p) - pos)
+                        ks.pw_acc += float(p[pos:pos + take].sum())
+                        ks.pw_cnt += take
+                        pos += take
+                        if ks.pw_cnt == n_int:
+                            out.append(np.sqrt(ks.pw_acc / n_int))
+                            ks.pw_acc, ks.pw_cnt = 0.0, 0
                 msgs.append((slot, np.asarray(out, np.float32), {},
                              raw_col))
             else:                              # psk / fsk / ask
                 sym = soft[:, d_idx]
                 st = strobe[:, d_idx]
                 if name != "fsk":              # fsk is amp-invariant
-                    sym = sym * np.float32(self._digital_gain(ks, sym))
+                    if h.get("squeezed") and power is not None:
+                        g = self._digital_gain_power(
+                            ks, float(power[ks.idx]),
+                            bucket.raw.cfg.block_out)
+                    else:
+                        g = self._digital_gain(ks, sym)
+                    sym = sym * np.float32(g)
                 if name == "psk":
                     bps = max(1, int(c["afc.bits-per-symbol"]))
                     ids = _decide_phase(sym, bps)
@@ -1117,15 +1421,35 @@ class KernelAnalyzer(Analyzer):
                 elif name == "fsk":
                     bps = max(1, int(c["fsk.bits-per-symbol"]))
                     vals = np.real(sym)
-                    ids = _decide_frequency(vals[st], bps) if st.any() \
-                        else np.zeros(0, np.uint8)
+                    if st.any():
+                        # per-slot EMA-tracked decision span: symbol
+                        # boundaries stay put across blocks (reference
+                        # Decider fixed min/max,
+                        # InspectorUI.cpp:229-250), instead of the
+                        # per-block adaptive max (r4 VERDICT weak #5)
+                        m = float(np.max(np.abs(vals[st])))
+                        ks.dec_span = m if ks.dec_span is None else \
+                            ks.dec_span + 0.1 * (m - ks.dec_span)
+                        span = max(ks.dec_span, 1e-12)
+                        ids = _decide_interval(
+                            vals[st], -span * (1 + 1e-6),
+                            span * (1 + 1e-6), bps)
+                    else:
+                        ids = np.zeros(0, np.uint8)
                     extras = {"strobes": st, "symbols": ids}
                     msgs.append((slot, vals, extras, raw_col))
                 else:
                     bps = max(1, int(c["ask.bits-per-symbol"]))
                     vals = np.real(sym)
-                    ids = _decide_amplitude(vals[st], bps) if st.any() \
-                        else np.zeros(0, np.uint8)
+                    if st.any():
+                        m = float(np.max(vals[st]))
+                        ks.dec_vmax = m if ks.dec_vmax is None else \
+                            ks.dec_vmax + 0.1 * (m - ks.dec_vmax)
+                        ids = _decide_amplitude(
+                            vals[st], bps,
+                            vmax=max(ks.dec_vmax, 1e-12))
+                    else:
+                        ids = np.zeros(0, np.uint8)
                     extras = {"strobes": st, "symbols": ids}
                     msgs.append((slot, vals, extras, raw_col))
         return msgs

@@ -101,6 +101,10 @@ class AudioBankConfig:
     enable_ssb: bool = True      # compile the second (imag) audio plane
     fir_tile: int = 0            # banded-FIR chunk rows (0 → auto ≤256)
     in_scale: float = 4096.0     # dequant scale for integer uploads
+    # per-sample hang AGC (the su_agc follower — fast/slow rise/fall
+    # EMAs + hang counter, reference Tasks/AGCTask.cpp:41-53) instead
+    # of the block power-EMA rsqrt; costs one fori_loop pass per tile
+    hang_agc: bool = False
 
     def __post_init__(self):
         assert self.block_out % self.m_tile == 0
@@ -184,14 +188,15 @@ def _audio_kernel(xw_re, xw_im, h_re, h_im, theta, m_ramp, ia_ramp, phi0,
                   phs0, omega_a, prev_re, prev_im, ftail1_in, ftail2_in,
                   atail1_in, atail2_in, sq_in, dc_in,
                   w_fm, w_am, w_re1, w_ssb, agc_w, vol, sq_w, sq_level,
-                  sqa, taps2, bt, tdc, dcpow,
+                  sqa, taps2, bt, tdc, dcpow, agc_rows, agcs_in,
                   audio_ref, last_re_ref, last_im_ref, ftail1_out_ref,
                   ftail2_out_ref, atail1_out_ref, atail2_out_ref,
-                  sq_out_ref, dc_out_ref, pow_out_ref,
+                  sq_out_ref, dc_out_ref, pow_out_ref, agcs_out_ref,
                   scr_prev, scr_f1, scr_f2, scr_a1, scr_a2, scr_st,
+                  scr_gain,
                   *, mt: int, ka: int, ka2: int, mta: int, ft: int,
                   m_tiles: int, quad_gain: float, ssb: bool,
-                  in_gain: float = 1.0):
+                  in_gain: float = 1.0, hang: bool = False):
     mi = pl.program_id(1)
 
     xr = xw_re[:]
@@ -227,6 +232,8 @@ def _audio_kernel(xw_re, xw_im, h_re, h_im, theta, m_ramp, ia_ramp, phi0,
         scr_st[0:1, :] = sq_in[:]
         scr_st[1:2, :] = dc_in[:]
         scr_st[2:3, :] = jnp.zeros_like(sq_in[:])
+        if hang:
+            scr_st[3:6, :] = agcs_in[0:3, :]
 
     # channel power EMA (squelch + block AGC source); per-channel
     # weight row honors agc.ts (reference AudioProcessor.cpp:265)
@@ -235,9 +242,42 @@ def _audio_kernel(xw_re, xw_im, h_re, h_im, theta, m_ramp, ia_ramp, phi0,
     scr_st[0:1, :] = sq_ema
     scr_st[2:3, :] = scr_st[2:3, :] + p_tile
 
-    # 4. block AGC gain (FM is scale-invariant; applied elsewhere)
-    g = agc_w[:] * jax.lax.rsqrt(jnp.maximum(sq_ema, 1e-9)) \
-        + (1.0 - agc_w[:])
+    # 4. AGC gain (FM is scale-invariant; applied elsewhere).  With
+    # ``hang`` compiled in, a per-sample su_agc follower — fast/slow
+    # rise/fall EMAs + hang counter (reference Tasks/AGCTask.cpp:41-53
+    # tau scaling; same recurrence as dsp/agc.py) — replaces the block
+    # power-EMA rsqrt.  The per-row loop reads/overwrites scr_gain in
+    # place (the RecoveryBank's dynamic-row-index pattern).
+    if hang:
+        mag_p = jnp.sqrt(rr * rr + ri * ri)
+        scr_gain[:] = mag_p
+
+        def agc_step(i, carry):
+            fast, slow, hng = carry
+            m = scr_gain[i, :]
+            af = jnp.where(m > fast, agc_rows[0, :], agc_rows[1, :])
+            fast = fast + af * (m - fast)
+            rising = m > slow
+            slow_up = slow + agc_rows[2, :] * (m - slow)
+            slow_dn = jnp.where(hng >= agc_rows[4, :],
+                                slow + agc_rows[3, :] * (m - slow),
+                                slow)
+            slow = jnp.where(rising, slow_up, slow_dn)
+            hng = jnp.where(rising, 0.0, hng + 1.0)
+            level = jnp.maximum(fast, slow)
+            scr_gain[i, :] = jnp.minimum(
+                1.0 / jnp.maximum(level, 1e-6), 1e4)
+            return fast, slow, hng
+
+        c0 = (scr_st[3, :], scr_st[4, :], scr_st[5, :])
+        fast, slow, hng = jax.lax.fori_loop(0, mt, agc_step, c0)
+        scr_st[3, :] = fast
+        scr_st[4, :] = slow
+        scr_st[5, :] = hng
+        g = agc_w[:] * scr_gain[:] + (1.0 - agc_w[:])
+    else:
+        g = agc_w[:] * jax.lax.rsqrt(jnp.maximum(sq_ema, 1e-9)) \
+            + (1.0 - agc_w[:])
 
     # 3. demod arms, one-hot mixed into the filter plane(s)
     pr = jnp.concatenate([scr_prev[0:1, :], rr[:-1, :]], axis=0)
@@ -319,6 +359,9 @@ def _audio_kernel(xw_re, xw_im, h_re, h_im, theta, m_ramp, ia_ramp, phi0,
         sq_out_ref[:] = scr_st[0:1, :]
         dc_out_ref[:] = scr_st[1:2, :]
         pow_out_ref[:] = scr_st[2:3, :] * (1.0 / m_tiles)
+        agcs_out_ref[:] = jnp.zeros_like(agcs_out_ref)
+        if hang:
+            agcs_out_ref[0:3, :] = scr_st[3:6, :]
 
 
 class AudioBank:
@@ -370,6 +413,7 @@ class AudioBank:
         self._theta64 = np.zeros(c, np.float64)
         self._omega_a64 = np.zeros(c, np.float64)   # audio LO rad/sample
         self._taps2 = np.zeros((cfg.audio_fir_taps, c), np.float32)
+        self._defer = False
         self._rebuild_columns(np.arange(c))
         self._upload_params()
 
@@ -388,6 +432,8 @@ class AudioBank:
         self._phs_a = np.zeros(c, np.float64)
         self._power_host = np.zeros(c, np.float32)
         self._power_dev = None
+        # hang-AGC follower state (rows 0-2: fast, slow, hang counter)
+        self._agcs = np.zeros((8, c), np.float32)
 
         self._call = self._build()
 
@@ -433,7 +479,8 @@ class AudioBank:
             # power-follower time constant; 0 restores the default
             self._agc_ts[i] = max(0.0, float(agc_ts))
         self._rebuild_columns(np.asarray([i]))
-        self._upload_params()
+        if not self._defer:
+            self._upload_params()
         if reset_state:
             self._state_to_host()
             self._prev_re[0, i] = 0.0
@@ -444,14 +491,23 @@ class AudioBank:
             self._atail2[:, i] = 0.0
             self._sq[0, i] = 0.0
             self._dc[0, i] = 0.0
+            self._agcs[:, i] = 0.0
             self._phi[i] = 0.0
             self._phs_a[i] = 0.0
+
+    def begin_defer(self) -> None:
+        """Suspend per-configure device uploads (bulk slot setup)."""
+        self._defer = True
+
+    def end_defer(self) -> None:
+        self._defer = False
+        self._upload_params()
 
     def _state_to_host(self) -> None:
         """Pull device-resident carries back to mutable numpy (slot
         resets are rare; the steady-state path never does this)."""
         for name in ("_prev_re", "_prev_im", "_ftail1", "_ftail2",
-                     "_atail1", "_atail2", "_sq", "_dc"):
+                     "_atail1", "_atail2", "_sq", "_dc", "_agcs"):
             v = getattr(self, name)
             if not isinstance(v, np.ndarray):
                 # copy: np.asarray of a jax buffer is READ-ONLY
@@ -527,6 +583,7 @@ class AudioBank:
             "sq_level": self._dev(
                 self._sq_level.astype(np.float32)[None, :]),
             "sqa": self._dev(self._sq_alpha_row()[None, :]),
+            "agc_rows": self._dev(self._agc_hang_rows()),
         }
 
     def _sq_alpha_row(self) -> np.ndarray:
@@ -540,6 +597,20 @@ class AudioBank:
         return np.where(self._agc_ts > 0.0,
                         np.clip(alpha, 1e-4, 1.0),
                         cfg.sq_alpha).astype(np.float32)
+
+    def _agc_hang_rows(self) -> np.ndarray:
+        """Per-channel hang-AGC constants [8, C]: rows 0-3 the
+        fast-rise/fast-fall/slow-rise/slow-fall EMA alphas at
+        2/4/8/16×tau, row 4 the hang time 10×tau (reference
+        Tasks/AGCTask.cpp:41-53; tau = agc.ts ms at the channel rate,
+        matching dsp/agc.py AGCParams)."""
+        cfg = self.cfg
+        tau = np.maximum(self._agc_ts * 1e-3 * cfg.channel_rate, 1.0)
+        out = np.zeros((8, cfg.n_channels), np.float32)
+        for r, mult in enumerate((2.0, 4.0, 8.0, 16.0)):
+            out[r] = 1.0 - np.exp(-1.0 / np.maximum(mult * tau, 1.0))
+        out[4] = 10.0 * tau
+        return out
 
     # ------------------------------------------------------------------
     def _build(self, cfg: AudioBankConfig | None = None,
@@ -608,6 +679,10 @@ class AudioBank:
                              memory_space=pltpu.VMEM),      # tdc
                 pl.BlockSpec((mta, 1), lambda ci, mi: (0, 0),
                              memory_space=pltpu.VMEM),      # dcpow
+                pl.BlockSpec((8, ct), lambda ci, mi: (0, ci),
+                             memory_space=pltpu.VMEM),      # agc_rows
+                pl.BlockSpec((8, ct), lambda ci, mi: (0, ci),
+                             memory_space=pltpu.VMEM),      # agcs_in
             ],
             out_specs=[
                 pl.BlockSpec((mta, ct), lambda ci, mi: (mi, ci),
@@ -622,6 +697,8 @@ class AudioBank:
                 pl.BlockSpec((ka2 - 1, ct), lambda ci, mi: (0, ci),
                              memory_space=pltpu.VMEM),      # atail2_out
                 row(per_ch), row(per_ch), row(per_ch),      # sq/dc/pow out
+                pl.BlockSpec((8, ct), lambda ci, mi: (0, ci),
+                             memory_space=pltpu.VMEM),      # agcs out
             ],
             scratch_shapes=[
                 pltpu.VMEM((2, ct), jnp.float32),            # prev rows
@@ -631,7 +708,9 @@ class AudioBank:
                 pltpu.VMEM((mta + ka2 - 1, ct), jnp.float32),  # a plane 1
                 pltpu.VMEM((mta + ka2 - 1 if cfg.enable_ssb else 8, ct),
                            jnp.float32),                     # a plane 2
-                pltpu.VMEM((3, ct), jnp.float32),            # sq/dc/pow
+                pltpu.VMEM((8, ct), jnp.float32),            # sq/dc/pow/agc
+                pltpu.VMEM((mt if cfg.hang_agc else 8, ct),
+                           jnp.float32),                     # agc gains
             ],
         )
         c = cfg.n_channels
@@ -640,7 +719,8 @@ class AudioBank:
                     ft=cfg.fir_tile,
                     m_tiles=m_tiles, quad_gain=cfg.quad_gain,
                     ssb=cfg.enable_ssb,
-                    in_gain=1.0 / cfg.in_scale),
+                    in_gain=1.0 / cfg.in_scale,
+                    hang=cfg.hang_agc),
             grid_spec=grid_spec,
             out_shape=[
                 jax.ShapeDtypeStruct((cfg.audio_out, c), jnp.float32),
@@ -653,6 +733,7 @@ class AudioBank:
                 jax.ShapeDtypeStruct((1, c), jnp.float32),
                 jax.ShapeDtypeStruct((1, c), jnp.float32),
                 jax.ShapeDtypeStruct((1, c), jnp.float32),
+                jax.ShapeDtypeStruct((8, c), jnp.float32),
             ],
             interpret=self.interpret,
         )
@@ -719,9 +800,10 @@ class AudioBank:
             self.consts["sq_w"], self.consts["sq_level"],
             self.consts["sqa"],
             self.consts["taps2"], self._bt, self._tdc, self._dcpow,
+            self.consts["agc_rows"], self._agcs,
         )
         (audio, last_re, last_im, ftail1, ftail2, atail1, atail2, sq,
-         dc, power) = out
+         dc, power, agcs) = out
         # carried state stays DEVICE-resident (it is only ever fed back
         # into the next call); configure_channel pulls it to host when
         # a slot reset needs to mutate it
@@ -734,6 +816,7 @@ class AudioBank:
         self._sq = sq
         self._sq_host = None          # lazy: one fetch per block, cached
         self._dc = dc
+        self._agcs = agcs
         self._power_dev = power       # lazy fetch (tunnel RTT per fetch)
         self._power_host = None
         self._phi = np.mod(
@@ -745,8 +828,11 @@ class AudioBank:
         return np.asarray(audio) if fetch else audio
 
     def feed_device(self, xw_re, xw_im, phi0, phs0, prev_re, prev_im,
-                    ftail1, ftail2, atail1, atail2, sq, dc):
+                    ftail1, ftail2, atail1, atail2, sq, dc,
+                    agcs=None):
         """Device-resident call (bench path, no host conversions)."""
+        if agcs is None:
+            agcs = self._agcs
         return self._call(
             xw_re, xw_im, self.consts["h_re"], self.consts["h_im"],
             self.consts["theta"], self._m_ramp, self._ia_ramp, phi0,
@@ -758,6 +844,7 @@ class AudioBank:
             self.consts["sq_w"], self.consts["sq_level"],
             self.consts["sqa"],
             self.consts["taps2"], self._bt, self._tdc, self._dcpow,
+            self.consts["agc_rows"], agcs,
         )
 
     def squelch_open(self) -> np.ndarray:

@@ -44,9 +44,15 @@ class ColumnCompactorConfig:
     channel_tile: int = 128
     out_bf16: bool = False       # drain bf16 (halves D2H bytes; the
                                  # selection matmul still runs f32)
+    out_i16: bool = False        # drain scaled int16 (per-plane scales)
+    scales: tuple[float, ...] = ()   # quantization scale per plane
+                                     # (required with out_i16)
 
     def __post_init__(self):
         assert self.n_channels % self.channel_tile == 0
+        if self.out_i16:
+            assert not self.out_bf16
+            assert len(self.scales) == self.n_planes
         if self.m_tile == 0:
             mt = min(self.n_rows, 2048)
             while self.n_rows % mt:
@@ -55,13 +61,20 @@ class ColumnCompactorConfig:
         assert self.n_rows % self.m_tile == 0
 
 
-def _compact_kernel(*refs, n_planes: int, c_tiles: int, mt: int):
+def _compact_kernel(*refs, n_planes: int, c_tiles: int, mt: int,
+                    scales: tuple[float, ...] = ()):
     # refs = x_1..x_n, s, out, scr_1..scr_n
     xs = refs[:n_planes]
     s = refs[n_planes]
     out = refs[n_planes + 1]
     scrs = refs[n_planes + 2:]
     ci = pl.program_id(1)
+
+    def store(v, p):
+        if scales:
+            v = jnp.clip(v * jnp.float32(scales[p]),
+                         -32768.0, 32767.0)
+        out[p * mt:(p + 1) * mt, :] = v.astype(out.dtype)
 
     for p, (x, scr) in enumerate(zip(xs, scrs)):
         acc = jnp.dot(x[:], s[:], preferred_element_type=jnp.float32)
@@ -76,9 +89,9 @@ def _compact_kernel(*refs, n_planes: int, c_tiles: int, mt: int):
 
             @pl.when(ci == c_tiles - 1)
             def _(p=p, scr=scr):
-                out[p * mt:(p + 1) * mt, :] = scr[:].astype(out.dtype)
+                store(scr[:], p)
         else:
-            out[p * mt:(p + 1) * mt, :] = acc.astype(out.dtype)
+            store(acc, p)
 
 
 class ColumnCompactor:
@@ -124,9 +137,11 @@ class ColumnCompactor:
             out_specs=out,
             scratch_shapes=[pltpu.VMEM((mt, w), jnp.float32)] * n,
         )
-        dtype = jnp.bfloat16 if cfg.out_bf16 else jnp.float32
+        dtype = (jnp.int16 if cfg.out_i16
+                 else jnp.bfloat16 if cfg.out_bf16 else jnp.float32)
         call = pl.pallas_call(
-            partial(_compact_kernel, n_planes=n, c_tiles=c_tiles, mt=mt),
+            partial(_compact_kernel, n_planes=n, c_tiles=c_tiles, mt=mt,
+                    scales=cfg.scales if cfg.out_i16 else ()),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((n * cfg.n_rows, w), dtype),
             interpret=self.interpret,
@@ -144,12 +159,14 @@ class ColumnCompactor:
         n_planes [M, W] numpy arrays."""
         cfg = self.cfg
         stacked = np.asarray(stacked)
+        i16 = stacked.dtype == np.int16
         if stacked.dtype != np.float32:
             stacked = stacked.astype(np.float32)
         m_tiles = cfg.n_rows // cfg.m_tile
         v = stacked.reshape(m_tiles, cfg.n_planes, cfg.m_tile, cfg.width)
         return tuple(
             np.ascontiguousarray(v[:, p].reshape(cfg.n_rows, cfg.width))
+            * ((1.0 / cfg.scales[p]) if i16 else 1.0)
             for p in range(cfg.n_planes))
 
     def __call__(self, *planes):

@@ -80,7 +80,7 @@ def _largest_divisor(n: int, limit: int) -> int:
 
 @dataclass(frozen=True)
 class DrainPackerConfig:
-    n_rows: int                  # M (dig/raw plane rows)
+    n_rows: int                  # M (raw plane rows)
     audio_rows: int              # Ma (= M // audio_decim)
     n_channels: int              # C
     width: int                   # W: buffer lane width (status width)
@@ -93,9 +93,13 @@ class DrainPackerConfig:
     digital_width: int = 0
     raw_width: int = 0
     m_tile: int = 0              # 0 → auto (≤1024, fits all sections)
+    digital_rows: int = 0        # Md (0 → n_rows; symbol-squeezed
+                                 # digital planes have M/group rows)
 
     def __post_init__(self):
         assert self.n_rows % self.audio_rows == 0
+        if self.digital_rows == 0:
+            object.__setattr__(self, "digital_rows", self.n_rows)
         for name in ("audio_width", "digital_width", "raw_width"):
             w = getattr(self, name)
             if w == 0:
@@ -107,10 +111,12 @@ class DrainPackerConfig:
             object.__setattr__(self, "m_tile", self._pick_m_tile())
         mt = self.m_tile
         assert self.audio_rows % mt == 0 and self.n_rows % mt == 0
+        if self.has_digital:
+            assert self.digital_rows % mt == 0
         if self.has_audio:
             assert (self.audio_rows // mt) % self.group("audio") == 0
         if self.has_digital:
-            assert (self.n_rows // mt) % self.group("digital") == 0
+            assert (self.digital_rows // mt) % self.group("digital") == 0
         if self.has_raw:
             assert (self.n_rows // mt) % self.group("raw") == 0
         # the status tile carries 2 values × 3 residual lanes
@@ -127,8 +133,10 @@ class DrainPackerConfig:
             if self.has_audio and \
                     (self.audio_rows // mt) % self.group("audio"):
                 ok = False
-            if self.has_digital and \
-                    (self.n_rows // mt) % self.group("digital"):
+            if self.has_digital and (
+                    self.digital_rows % mt
+                    or (self.digital_rows // mt)
+                    % self.group("digital")):
                 ok = False
             if self.has_raw and \
                     (self.n_rows // mt) % self.group("raw"):
@@ -160,9 +168,10 @@ class DrainPackerConfig:
         pt = self.n_rows // mt
         if self.has_digital:
             g = self.group("digital")
+            dt = self.digital_rows // mt
             for name in ("d_sr", "d_si", "d_st"):
-                out.append((name, t, pt // g, g))
-                t += pt // g
+                out.append((name, t, dt // g, g))
+                t += dt // g
         if self.has_raw:
             g = self.group("raw")
             for name in ("y_re", "y_im"):

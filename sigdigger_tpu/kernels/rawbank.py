@@ -109,6 +109,7 @@ class RawBank:
         self._theta64 = np.zeros(c, np.float64)
         self._m_ramp = jnp.asarray(
             np.arange(cfg.m_tile, dtype=np.float32)[:, None])
+        self._defer = False
         self._rebuild_columns(np.arange(c))
         self._upload()
         self._history = np.zeros(cfg.taps - 1, np.complex64)
@@ -127,9 +128,20 @@ class RawBank:
         if bw is not None:
             self._bw[i] = float(bw)
         self._rebuild_columns(np.asarray([i]))
-        self._upload()
+        if not self._defer:
+            self._upload()
         if reset_state:
             self._phi[i] = 0.0
+
+    def begin_defer(self) -> None:
+        """Suspend per-configure device uploads (bulk slot setup —
+        1000+ opens would otherwise re-upload the full constant
+        planes per slot)."""
+        self._defer = True
+
+    def end_defer(self) -> None:
+        self._defer = False
+        self._upload()
 
     def _rebuild_columns(self, idx: np.ndarray) -> None:
         cfg = self.cfg

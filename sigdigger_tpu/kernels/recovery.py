@@ -327,6 +327,7 @@ class RecoveryBank:
         self._alpha = np.zeros(c, np.float32)
         self._beta = np.zeros(c, np.float32)
         self.state = np.zeros((self.STATE_ROWS, c), np.float32)
+        self._defer = False
         self._rebuild(np.arange(c), reset_state=True)
         self._upload()
         self._call = self._build()
@@ -386,6 +387,15 @@ class RecoveryBank:
         if eq_locked is not None:
             self._eq_locked[i] = bool(eq_locked)
         self._rebuild(np.asarray([i]), reset_state=reset_state)
+        if not self._defer:
+            self._upload()
+
+    def begin_defer(self) -> None:
+        """Suspend per-configure device uploads (bulk slot setup)."""
+        self._defer = True
+
+    def end_defer(self) -> None:
+        self._defer = False
         self._upload()
 
     def _rebuild(self, idx: np.ndarray, reset_state: bool) -> None:

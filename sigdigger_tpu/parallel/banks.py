@@ -105,9 +105,10 @@ def shard_audio_bank(bank, mesh: Mesh, axis: str = "ch"):
         ch,                         # sqa
         ch,                         # taps2
         rep, rep, rep,              # bt, tdc, dcpow
+        ch, ch,                     # agc_rows, agcs
     )
-    # audio, last_re/im, ftail1/2, atail1/2, sq, dc, pow
-    out_specs = (ch,) * 10
+    # audio, last_re/im, ftail1/2, atail1/2, sq, dc, pow, agcs
+    out_specs = (ch,) * 11
     _shard(bank, mesh, axis, in_specs, out_specs,
            replace(cfg, n_channels=local_c, channel_tile=tile))
     bank._upload_params()

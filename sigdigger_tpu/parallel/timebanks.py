@@ -212,13 +212,14 @@ class TimeShardedAudioBank:
             audio_fir_taps=cfg.audio_fir_taps, block_out=ext_m,
             m_tile=self.mt, channel_tile=tile,
             quad_gain=cfg.quad_gain, dc_alpha=cfg.dc_alpha,
-            sq_alpha=cfg.sq_alpha, enable_ssb=cfg.enable_ssb)
+            sq_alpha=cfg.sq_alpha, enable_ssb=cfg.enable_ssb,
+            hang_agc=cfg.hang_agc)
         local_call = bank._build(local_cfg, jit=False)
         trim = halo // cfg.audio_decim
 
         def step(*args):
             (audio, last_re, last_im, f1, f2, a1, a2, sq, dc,
-             power) = local_call(*args)
+             power, agcs) = local_call(*args)
             t = jax.lax.axis_index("time")
 
             def last(v):
@@ -227,7 +228,7 @@ class TimeShardedAudioBank:
                     "time")
 
             return (audio[trim:], last(sq), last(dc),
-                    jax.lax.psum(power, "time") / n_t)
+                    jax.lax.psum(power, "time") / n_t, last(agcs))
 
         ch = P(None, "ch")
         tch = P("time", "ch")
@@ -244,10 +245,11 @@ class TimeShardedAudioBank:
             ch, ch, ch, ch, ch,                  # agc/vol/sq_w/lvl/sqa
             ch,                                  # taps2
             P(), P(), P(),                       # bt, tdc, dcpow
+            ch, ch,                              # agc_rows, agcs seed
         )
         self._call = jax.jit(jax.shard_map(
             step, mesh=mesh, in_specs=in_specs,
-            out_specs=(tch, ch, ch, ch), check_vma=False))
+            out_specs=(tch, ch, ch, ch, ch), check_vma=False))
         bank.sharding = NamedSharding(mesh, P(None, "ch"))
         bank._upload_params()
 
@@ -301,7 +303,7 @@ class TimeShardedAudioBank:
         xw_re, xw_im = b.frame(x)
         sre, sim = self._stacked_frames(xw_re, xw_im)
         phi0, phs0 = self._phases()
-        audio, sq, dc, power = self._call(
+        audio, sq, dc, power, agcs = self._call(
             sre, sim, b.consts["h_re"], b.consts["h_im"],
             b.consts["theta"], self._m_ramp, self._ia_ramp, phi0,
             phs0, b.consts["omega_a"], self._zrow, self._zrow,
@@ -310,10 +312,12 @@ class TimeShardedAudioBank:
             b.consts["w_fm"], b.consts["w_am"], b.consts["w_re1"],
             b.consts["w_ssb"], b.consts["agc_w"], b.consts["vol"],
             b.consts["sq_w"], b.consts["sq_level"], b.consts["sqa"],
-            b.consts["taps2"], self._bt, self._tdc, self._dcpow)
+            b.consts["taps2"], self._bt, self._tdc, self._dcpow,
+            b.consts["agc_rows"], b._agcs)
         b._sq = sq
         b._sq_host = None
         b._dc = dc
+        b._agcs = agcs
         b._power_dev = power
         b._power_host = None
         b._phi = np.mod(b._phi + b._theta64 * cfg.block_out, _TWO_PI)
