@@ -105,6 +105,12 @@ class AudioBankConfig:
     # EMAs + hang counter, reference Tasks/AGCTask.cpp:41-53) instead
     # of the block power-EMA rsqrt; costs one fori_loop pass per tile
     hang_agc: bool = False
+    # inject the sq/dc/agc state seeds at THIS time tile instead of
+    # tile 0 (time-sharded wrappers: tiles below seed_tile are halo
+    # recompute — their EMA state restarts from zero and the real
+    # region starts from the exact carried state).  Block power then
+    # averages only tiles >= seed_tile.
+    seed_tile: int = 0
 
     def __post_init__(self):
         assert self.block_out % self.m_tile == 0
@@ -196,7 +202,8 @@ def _audio_kernel(xw_re, xw_im, h_re, h_im, theta, m_ramp, ia_ramp, phi0,
                   scr_gain,
                   *, mt: int, ka: int, ka2: int, mta: int, ft: int,
                   m_tiles: int, quad_gain: float, ssb: bool,
-                  in_gain: float = 1.0, hang: bool = False):
+                  in_gain: float = 1.0, hang: bool = False,
+                  seed_tile: int = 0):
     mi = pl.program_id(1)
 
     xr = xw_re[:]
@@ -219,7 +226,9 @@ def _audio_kernel(xw_re, xw_im, h_re, h_im, theta, m_ramp, ia_ramp, phi0,
     rr = yr * cr - yi * ci
     ri = yr * ci + yi * cr
 
-    # seed cross-tile scratch from the block-carry state at tile 0
+    # seed cross-tile scratch from the block-carry state at tile 0;
+    # with seed_tile > 0 the sq/dc/agc seeds inject at the first REAL
+    # tile instead (halo tiles restart their EMAs from zero)
     @pl.when(mi == 0)
     def _():
         scr_prev[0:1, :] = prev_re[:]
@@ -229,18 +238,38 @@ def _audio_kernel(xw_re, xw_im, h_re, h_im, theta, m_ramp, ia_ramp, phi0,
         if ssb:
             scr_f2[0:ka - 1, :] = ftail2_in[:]
             scr_a2[0:ka2 - 1, :] = atail2_in[:]
-        scr_st[0:1, :] = sq_in[:]
-        scr_st[1:2, :] = dc_in[:]
+        if seed_tile == 0:
+            scr_st[0:1, :] = sq_in[:]
+            scr_st[1:2, :] = dc_in[:]
+        else:
+            scr_st[0:1, :] = jnp.zeros_like(sq_in[:])
+            scr_st[1:2, :] = jnp.zeros_like(sq_in[:])
         scr_st[2:3, :] = jnp.zeros_like(sq_in[:])
         if hang:
-            scr_st[3:6, :] = agcs_in[0:3, :]
+            if seed_tile == 0:
+                scr_st[3:6, :] = agcs_in[0:3, :]
+            else:
+                scr_st[3:6, :] = jnp.zeros_like(agcs_in[0:3, :])
+
+    if seed_tile > 0:
+        @pl.when(mi == seed_tile)
+        def _():
+            scr_st[0:1, :] = sq_in[:]
+            scr_st[1:2, :] = dc_in[:]
+            if hang:
+                scr_st[3:6, :] = agcs_in[0:3, :]
 
     # channel power EMA (squelch + block AGC source); per-channel
     # weight row honors agc.ts (reference AudioProcessor.cpp:265)
     p_tile = jnp.mean(rr * rr + ri * ri, axis=0, keepdims=True)
     sq_ema = (1.0 - sqa[:]) * scr_st[0:1, :] + sqa[:] * p_tile
     scr_st[0:1, :] = sq_ema
-    scr_st[2:3, :] = scr_st[2:3, :] + p_tile
+    if seed_tile > 0:
+        # halo tiles don't count toward the block power average
+        scr_st[2:3, :] = scr_st[2:3, :] + jnp.where(
+            mi >= seed_tile, p_tile, jnp.zeros_like(p_tile))
+    else:
+        scr_st[2:3, :] = scr_st[2:3, :] + p_tile
 
     # 4. AGC gain (FM is scale-invariant; applied elsewhere).  With
     # ``hang`` compiled in, a per-sample su_agc follower — fast/slow
@@ -358,7 +387,7 @@ def _audio_kernel(xw_re, xw_im, h_re, h_im, theta, m_ramp, ia_ramp, phi0,
             atail2_out_ref[:] = jnp.zeros_like(atail2_out_ref)
         sq_out_ref[:] = scr_st[0:1, :]
         dc_out_ref[:] = scr_st[1:2, :]
-        pow_out_ref[:] = scr_st[2:3, :] * (1.0 / m_tiles)
+        pow_out_ref[:] = scr_st[2:3, :] * (1.0 / (m_tiles - seed_tile))
         agcs_out_ref[:] = jnp.zeros_like(agcs_out_ref)
         if hang:
             agcs_out_ref[0:3, :] = scr_st[3:6, :]
@@ -720,7 +749,8 @@ class AudioBank:
                     m_tiles=m_tiles, quad_gain=cfg.quad_gain,
                     ssb=cfg.enable_ssb,
                     in_gain=1.0 / cfg.in_scale,
-                    hang=cfg.hang_agc),
+                    hang=cfg.hang_agc,
+                    seed_tile=cfg.seed_tile),
             grid_spec=grid_spec,
             out_shape=[
                 jax.ShapeDtypeStruct((cfg.audio_out, c), jnp.float32),

@@ -12,20 +12,27 @@ block.  Three mechanisms, one per recurrence structure:
   the mean of shard means (one [1, C] ``psum`` — the only collective).
   Numerically identical to single-device.
 
-- **AudioBank — input halos (overlap-save in time).**  The fused
-  FM/AM/SSB chain carries short-memory state (discriminator prev row,
-  two FIR tail pairs).  Instead of exchanging those carries (they are
-  *outputs* of the left shard — a sequential dependency), each shard's
-  input slice is extended LEFT by ``halo`` window rows; the kernel
-  recomputes the left context from raw input (channelization is
-  stateless per row) and the first ``halo/audio_decim`` audio rows are
-  discarded.  Zero communication, FM/RAW exact (the halo covers the
-  full prev+FIR dependency depth).  Long-memory EMAs are the
-  documented deviation: the squelch power EMA and the AM DC follower
-  seed see ``halo`` rows of context instead of the full past, so AM
-  output matches to the DC-settling tolerance and squelch decisions
-  are per-shard.  Shard 0's halo is the previous block's last windows
-  (kept host-side), so streaming across blocks stays exact.
+- **AudioBank — input halos (overlap-save in time) + linear EMA
+  reshard.**  The fused FM/AM/SSB chain carries short-memory state
+  (discriminator prev row, two FIR tail pairs).  Instead of
+  exchanging those carries (they are *outputs* of the left shard — a
+  sequential dependency), each shard's input slice is extended LEFT
+  by ``halo`` window rows; the kernel recomputes the left context
+  from raw input (channelization is stateless per row) and the first
+  ``halo/audio_decim`` audio rows are discarded.  FM/RAW are exact
+  with zero communication.  The long-memory EMAs (squelch power, AM
+  DC follower) are LINEAR in their carried state, so they reshard
+  EXACTLY (r4 VERDICT item 4): pass A runs each shard from a zero
+  seed to measure its transition contribution, one all-gather + a
+  closed-form scan produce the true per-shard seeds, and pass B
+  injects them at each shard's first real tile
+  (``AudioBankConfig.seed_tile``) — squelch decisions, block power
+  and AM (AGC off) bit-match the single-device stream at matched
+  tile cadence, at 2× bank compute.  With AGC ON, halo rows' arm
+  values still see halo-depth gain context inside the FIR boundary
+  window (the remaining documented tolerance).  Shard 0's halo is
+  the previous block's last windows (kept host-side), so streaming
+  across blocks stays exact.
 
 - **RecoveryBank — exact sequential handoff (turn-taking).**  The
   PSK/FSK/ASK loops (Costas, Gardner, AGC) are per-sample recurrences;
@@ -173,13 +180,27 @@ class TimeShardedAudioBank:
 
     ``halo`` window rows of left context per shard (default covers the
     full discriminator + both FIR dependency depths, making FM/RAW
-    exact).  Must be a multiple of ``audio_decim``.
+    exact).  Rounded up to a whole number of time tiles.
+
+    ``exact=True`` (default) makes the squelch EMA and the AM DC
+    follower exact as well (r4 VERDICT item 4): both are LINEAR in
+    their carried state, so pass A runs every shard from a zero seed
+    to measure its transition contribution, an all-gather + closed-form
+    scan turns those into the exact per-shard seeds, and pass B
+    re-runs with the seeds injected at each shard's first REAL tile
+    (``AudioBankConfig.seed_tile``).  Squelch decisions, block power
+    and AM (with AGC off) equal the single-device stream bit-for-bit
+    when the tile cadence matches (sharded m_tile == single-device
+    m_tile); with AGC on, halo rows' arm values still see halo-depth
+    gain context inside the FIR boundary window (documented residual).
+    Costs 2× the bank compute on sharded runs.
     """
 
-    def __init__(self, bank, mesh: Mesh, halo: int | None = None
-                 ) -> None:
+    def __init__(self, bank, mesh: Mesh, halo: int | None = None,
+                 exact: bool = True) -> None:
         self.bank = bank
         self.mesh = mesh
+        self.exact = exact
         cfg = bank.cfg
         n_t, n_c = mesh.shape["time"], mesh.shape["ch"]
         self.n_t = n_t
@@ -187,18 +208,21 @@ class TimeShardedAudioBank:
             raise ValueError(
                 f"block_out {cfg.block_out} not divisible by "
                 f"n_time*audio_decim = {n_t}*{cfg.audio_decim}")
+        local_m = cfg.block_out // n_t
+        self.local_m = local_m
+        self.mt = _div_le(local_m, cfg.m_tile,
+                          multiple_of=cfg.audio_decim)
         if halo is None:
             halo = cfg.audio_taps + \
                 cfg.audio_fir_taps * cfg.audio_decim
-        halo += (-halo) % cfg.audio_decim
+        # whole time tiles: the EMA seeds inject exactly at the first
+        # real tile, and trim stays audio_decim-aligned
+        halo += (-halo) % self.mt
         self.halo = halo
-        local_m = cfg.block_out // n_t
-        self.local_m = local_m
         ext_m = local_m + halo
+        self.seed_tile = halo // self.mt if exact else 0
         local_c, tile = _local_channels(cfg.n_channels,
                                         cfg.channel_tile, n_c)
-        self.mt = _div_le(ext_m, cfg.m_tile,
-                          multiple_of=cfg.audio_decim)
         from sigdigger_tpu.kernels.audio import (
             AudioBankConfig,
             _band_matrix,
@@ -213,13 +237,17 @@ class TimeShardedAudioBank:
             m_tile=self.mt, channel_tile=tile,
             quad_gain=cfg.quad_gain, dc_alpha=cfg.dc_alpha,
             sq_alpha=cfg.sq_alpha, enable_ssb=cfg.enable_ssb,
-            hang_agc=cfg.hang_agc)
+            hang_agc=cfg.hang_agc, seed_tile=self.seed_tile)
         local_call = bank._build(local_cfg, jit=False)
         trim = halo // cfg.audio_decim
+        # per-shard EMA decay over the REAL region (the transitions
+        # are linear: state_out = decay·state_in + contribution)
+        real_tiles = local_m // self.mt
+        beta_dc = float(cfg.dc_alpha) ** cfg.audio_decim
+        decay_dc = jnp.float32(beta_dc ** (local_m // cfg.audio_decim))
+        SQ_I, DC_I, SQA_I = 16, 17, 26
 
         def step(*args):
-            (audio, last_re, last_im, f1, f2, a1, a2, sq, dc,
-             power, agcs) = local_call(*args)
             t = jax.lax.axis_index("time")
 
             def last(v):
@@ -227,6 +255,29 @@ class TimeShardedAudioBank:
                     jnp.where(t == n_t - 1, v, jnp.zeros_like(v)),
                     "time")
 
+            if exact and n_t > 1:
+                # pass A: zero seeds → per-shard transition terms
+                a_args = list(args)
+                a_args[SQ_I] = jnp.zeros_like(args[SQ_I])
+                a_args[DC_I] = jnp.zeros_like(args[DC_I])
+                out_a = local_call(*a_args)
+                b_sq = jax.lax.all_gather(out_a[7], "time")
+                b_dc = jax.lax.all_gather(out_a[8], "time")
+                # closed-form seed scan: seed_0 = carry;
+                # seed_{s+1} = decay·seed_s + B_s
+                decay_sq = (1.0 - args[SQA_I]) ** real_tiles
+                my_sq, run_sq = args[SQ_I], args[SQ_I]
+                my_dc, run_dc = args[DC_I], args[DC_I]
+                for s in range(1, n_t):
+                    run_sq = decay_sq * run_sq + b_sq[s - 1]
+                    run_dc = decay_dc * run_dc + b_dc[s - 1]
+                    my_sq = jnp.where(t == s, run_sq, my_sq)
+                    my_dc = jnp.where(t == s, run_dc, my_dc)
+                args = list(args)
+                args[SQ_I] = my_sq
+                args[DC_I] = my_dc
+            (audio, last_re, last_im, f1, f2, a1, a2, sq, dc,
+             power, agcs) = local_call(*args)
             return (audio[trim:], last(sq), last(dc),
                     jax.lax.psum(power, "time") / n_t, last(agcs))
 
