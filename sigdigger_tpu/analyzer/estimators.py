@@ -17,29 +17,55 @@ from __future__ import annotations
 import numpy as np
 
 
-def estimate_baud(y: np.ndarray, sample_rate: float) -> float | None:
-    """Cyclostationary baud estimate from the envelope autocorrelation."""
+def estimate_baud(y: np.ndarray, sample_rate: float,
+                  estimator: str = "auto") -> float | None:
+    """Cyclostationary baud estimate from the envelope autocorrelation.
+    On TPU backends the envelope line spectrum runs on the Bailey
+    Pallas PSD (tasks/psdutil.py — no FFT primitive on axon)."""
+    from sigdigger_tpu.tasks.psdutil import pallas_mean_psd, use_pallas
+    from sigdigger_tpu.types import WindowFunction
+
     n = len(y)
     if n < 256:
         return None
     env = np.abs(np.asarray(y)) ** 2
     env = env - env.mean()
-    spec = np.abs(np.fft.rfft(env * np.hanning(n))) ** 2
+    if use_pallas(estimator):
+        nat = pallas_mean_psd(env.astype(np.complex64), sample_rate,
+                              window=WindowFunction.HANN)
+        nb = len(nat)
+        spec = nat[:nb // 2 + 1]
+        scale = sample_rate / nb
+    else:
+        spec = np.abs(np.fft.rfft(env * np.hanning(n))) ** 2
+        scale = sample_rate / n
     # baud line: strongest component above a small lower cutoff
     lo = max(2, int(n / sample_rate * (sample_rate / n) * 4))
     k = int(np.argmax(spec[lo:len(spec) - 1])) + lo
     if spec[k] < 10.0 * np.median(spec[lo:]):
         return None
-    return k * sample_rate / n
+    return k * scale
 
 
-def estimate_offset(y: np.ndarray, sample_rate: float) -> float | None:
-    """Carrier offset via power-weighted spectral centroid."""
+def estimate_offset(y: np.ndarray, sample_rate: float,
+                    estimator: str = "auto") -> float | None:
+    """Carrier offset via power-weighted spectral centroid (Bailey
+    Pallas PSD on TPU backends)."""
+    from sigdigger_tpu.tasks.psdutil import pallas_mean_psd, use_pallas
+    from sigdigger_tpu.types import WindowFunction
+
     n = len(y)
     if n < 64:
         return None
-    spec = np.abs(np.fft.fft(np.asarray(y) * np.hanning(n))) ** 2
-    freqs = np.fft.fftfreq(n, 1.0 / sample_rate)
+    if use_pallas(estimator):
+        spec = pallas_mean_psd(np.asarray(y, np.complex64),
+                               sample_rate,
+                               window=WindowFunction.HANN)
+        nb = len(spec)
+        freqs = np.fft.fftfreq(nb, 1.0 / sample_rate)
+    else:
+        spec = np.abs(np.fft.fft(np.asarray(y) * np.hanning(n))) ** 2
+        freqs = np.fft.fftfreq(n, 1.0 / sample_rate)
     total = spec.sum()
     if total <= 0:
         return None

@@ -257,7 +257,7 @@ class LiveSession:
             from sigdigger_tpu.io.webspectrum import WebSpectrumServer
 
             self.web_server = WebSpectrumServer(
-                self.waterfall, port=self.http_port)
+                self.waterfall, port=self.http_port, analyzer=an)
 
         # servers
         if self.wire_port is not None:
@@ -275,7 +275,70 @@ class LiveSession:
         self._pump = threading.Thread(target=self._pump_loop,
                                       daemon=True, name="live-pump")
         self._pump.start()
+        if self.tty:
+            self._start_keys()
         an.start()
+
+    def _start_keys(self) -> None:
+        """ANSI-terminal keybindings for the tty waterfall (headless
+        MainSpectrum interactions, reference
+        Components/MainSpectrum.cpp freq/filter controls):
+
+          [ / ]   retune the tuner by ∓/± fs/10
+          a       open an FM audio inspector at the center frequency
+          c       close it
+          s       toggle its squelch
+          q       halt the session
+
+        Inert when stdin is not a real terminal."""
+        if not sys.stdin.isatty():
+            return
+
+        def loop():
+            import termios
+            import tty as _tty
+
+            fd = sys.stdin.fileno()
+            old = termios.tcgetattr(fd)
+            _tty.setcbreak(fd)
+            key_insp: list[int] = []
+            squelch = [False]
+            try:
+                while not self._stop.is_set():
+                    ch = sys.stdin.read(1)
+                    an = self.analyzer
+                    if an is None:
+                        break
+                    fs = an.sample_rate
+                    if ch == "[":
+                        an.set_frequency(an.profile.freq - fs / 10)
+                    elif ch == "]":
+                        an.set_frequency(an.profile.freq + fs / 10)
+                    elif ch == "a" and not key_insp:
+                        from sigdigger_tpu.types import Channel
+
+                        key_insp.append(an.open_inspector(
+                            "audio",
+                            Channel(fc=an.profile.freq, bw=12e3),
+                            config={"audio.demodulator": 2,
+                                    "audio.volume": 1.0}))
+                    elif ch == "c" and key_insp:
+                        an.close_inspector(key_insp.pop())
+                    elif ch == "s" and key_insp:
+                        squelch[0] = not squelch[0]
+                        an.set_inspector_config(
+                            key_insp[-1],
+                            {"audio.squelch": squelch[0]})
+                    elif ch == "q":
+                        self.eos.set()
+                        break
+            except Exception:  # noqa: BLE001 — keys must never crash
+                pass
+            finally:
+                termios.tcsetattr(fd, termios.TCSADRAIN, old)
+
+        threading.Thread(target=loop, daemon=True,
+                         name="live-keys").start()
 
     def _start_control(self) -> None:
         from sigdigger_tpu.io.remote import RemoteControlServer

@@ -64,24 +64,37 @@ def cmd_psd(args) -> int:
     if usable == 0:
         print("capture shorter than one FFT", file=sys.stderr)
         return 1
-    est = SpectrumEstimator(n, rate, WindowFunction.BLACKMANN_HARRIS,
-                            alpha=2.0 / (usable // n + 1))
+    from sigdigger_tpu.tasks.psdutil import pallas_mean_psd, use_pallas
+
+    pallas = use_pallas("auto")   # TPU: Bailey kernel (no XLA FFT)
+    if not pallas:
+        est = SpectrumEstimator(n, rate,
+                                WindowFunction.BLACKMANN_HARRIS,
+                                alpha=2.0 / (usable // n + 1))
     if args.waterfall:
         from sigdigger_tpu.utils.waterfall import Waterfall
 
         wf = Waterfall(bins=n)
-        est_wf = SpectrumEstimator(n, rate,
-                                   WindowFunction.BLACKMANN_HARRIS,
-                                   alpha=0.5)
+        est_wf = None if pallas else SpectrumEstimator(
+            n, rate, WindowFunction.BLACKMANN_HARRIS, alpha=0.5)
         rows = min(512, usable // n)
         per_row = usable // rows // n * n
         for i in range(rows):
-            est_wf.feed(data[i * per_row:(i + 1) * per_row])
-            wf.feed(est_wf.shifted())
+            chunk = data[i * per_row:(i + 1) * per_row]
+            if pallas:
+                wf.feed(np.fft.fftshift(
+                    pallas_mean_psd(chunk, rate, fft_size=n)))
+            else:
+                est_wf.feed(chunk)
+                wf.feed(est_wf.shifted())
         wf.save_png(args.waterfall)
         print(f"wrote {args.waterfall} ({wf.rows} rows)")
-    est.feed(data[:usable])
-    psd = est.shifted()
+    if pallas:
+        psd = np.fft.fftshift(
+            pallas_mean_psd(data[:usable], rate, fft_size=n))
+    else:
+        est.feed(data[:usable])
+        psd = est.shifted()
     freqs = psd_frequencies(n, rate)
     db = 10 * np.log10(psd + 1e-30)
     if args.output:

@@ -29,21 +29,34 @@ class DopplerResult:
 
 class DopplerCalculator(CancellableTask):
     def __init__(self, data: np.ndarray, sample_rate: float,
-                 carrier_freq: float) -> None:
+                 carrier_freq: float, estimator: str = "auto") -> None:
         super().__init__()
         self.data = np.asarray(data, np.complex64)
         self.sample_rate = float(sample_rate)
         self.f0 = float(carrier_freq)
+        self.estimator = estimator
         if self.f0 <= 0:
             raise ValueError("carrier frequency must be positive")
         self._stage = 0
 
     def work(self) -> bool:
-        n = next_pow2(len(self.data))
-        w = window_taps(WindowFunction.BLACKMANN_HARRIS, len(self.data))
-        buf = np.zeros(n, np.complex64)
-        buf[: len(self.data)] = self.data * w
-        spec = np.fft.fftshift(np.abs(np.fft.fft(buf)) ** 2)
+        from sigdigger_tpu.tasks.psdutil import (
+            pallas_mean_psd,
+            use_pallas,
+        )
+
+        if use_pallas(self.estimator):
+            # TPU path: Bailey DFT-matmul averaged periodogram
+            nat = pallas_mean_psd(self.data, self.sample_rate)
+            n = len(nat)
+            spec = np.fft.fftshift(nat).astype(np.float64)
+        else:
+            n = next_pow2(len(self.data))
+            w = window_taps(WindowFunction.BLACKMANN_HARRIS,
+                            len(self.data))
+            buf = np.zeros(n, np.complex64)
+            buf[: len(self.data)] = self.data * w
+            spec = np.fft.fftshift(np.abs(np.fft.fft(buf)) ** 2)
         freqs = np.fft.fftshift(np.fft.fftfreq(n, 1.0 / self.sample_rate))
         lam = SPEED_OF_LIGHT / self.f0
         v = -freqs * lam  # approaching target → positive Doppler shift

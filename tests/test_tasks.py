@@ -245,3 +245,52 @@ def test_multitask_controller():
     assert all(s["progress"] == 1.0 for s in snap)
     mc.cleanup()
     assert mc.snapshot() == []
+
+
+def test_carrier_detector_pallas_estimator():
+    """estimator="pallas" routes the detection spectrum through the
+    Bailey Pallas PSD (the TPU path, interpret mode here) and agrees
+    with the np.fft path within a bin (r4 VERDICT item 7)."""
+    fs = 100_000.0
+    f0 = 12_345.6
+    x = tone(8192, f0 / fs)
+    est_np = run(CarrierDetector(x, fs, estimator="numpy"))
+    est_pl = run(CarrierDetector(x, fs, estimator="pallas"))
+    assert abs(est_np - f0) < 15.0
+    assert abs(est_pl - f0) < 15.0
+    assert abs(est_pl - est_np) < fs / 8192
+
+
+def test_doppler_pallas_estimator():
+    fs = 50_000.0
+    f0 = 437_000_000.0
+    lam = 299_792_458.0 / f0
+    shift = 2_000.0                        # Hz Doppler
+    x = tone(8192, shift / fs)
+    a = run(DopplerCalculator(x, fs, f0, estimator="numpy"))
+    b = run(DopplerCalculator(x, fs, f0, estimator="pallas"))
+    v_want = -shift * lam
+    assert abs(a.center_velocity - v_want) < 0.05 * abs(v_want)
+    assert abs(b.center_velocity - a.center_velocity) \
+        < 0.05 * abs(v_want)
+
+
+def test_estimators_pallas_backend():
+    from sigdigger_tpu.analyzer.estimators import (
+        estimate_baud,
+        estimate_offset,
+    )
+
+    fs = 32_000.0
+    n = 4096
+    t = np.arange(n) / fs
+    baud = 1_000.0
+    sym = np.sign(np.sin(2 * np.pi * baud / 2 * t) + 0.3)
+    y = (sym * np.exp(2j * np.pi * 500.0 * t)).astype(np.complex64)
+    b_np = estimate_baud(y, fs, estimator="numpy")
+    b_pl = estimate_baud(y, fs, estimator="pallas")
+    assert b_np is not None and b_pl is not None
+    assert abs(b_pl - b_np) <= 2 * fs / n
+    o_np = estimate_offset(y, fs, estimator="numpy")
+    o_pl = estimate_offset(y, fs, estimator="pallas")
+    assert abs(o_pl - o_np) < 40.0
