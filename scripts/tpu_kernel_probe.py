@@ -1,127 +1,140 @@
-#!/usr/bin/env python
-"""Probe where the fused channelizer kernel's time goes on the real
-chip (VERDICT r2 Weak #2: MFU 0.023, kernels not at roofline).
+"""Where does the fused channelizer's time go, and what wins it back?
 
-Times one grid program shape (block_out=8192, m_tile=2048, C=1024,
-ct=128, K=64, audio K=64/D=8) in isolating variants:
+r4 VERDICT item 2: executed efficiency is ~22% of the f32 ceiling.
+This probe times ablated/restructured variants of the fused
+channelize+rotate+discriminate+FIR kernel ON THE REAL CHIP to find the
+actual cost split before committing a redesign:
 
-  A baseline   — the shipped math: 4 channelize matmuls + trig rotator
-                 + atan2 discriminator + banded audio matmul
-  B rot-table  — rotator cos/sin streamed as precomputed HBM constants
-                 (valid whenever snap_grid pins the per-block phase)
-  C no-atan2   — B with the discriminator's atan2 replaced by a mul
-                 (bounds atan2's share)
-  D no-audio   — B with the banded audio matmul removed (bounds its share)
-  E audio-vpu  — B with the audio FIR as 64 shifted mul-adds (VPU)
-                 instead of the dense banded matmul (MXU)
-  F bf16-mm    — B with channelize matmuls fed bf16 (f32 accum)
+  full        current structure (4 narrow matmuls + trig rotation +
+              atan2 + banded FIR)
+  norot       rotation skipped            → cost of cos/sin
+  noatan      discriminator linearized    → cost of atan2
+  matonly     channelize matmuls only     → MXU share
+  wide2       channelize as 2 [mt,K]x[K,2ct] matmuls (wider N)
+  concat1     channelize as ONE [mt,2K]x[2K,2ct] matmul
+              (128-deep contraction — full MXU depth)
+  tabrot      rotation from precomputed Q/R phase tables
+              (rank-structure: e^{-jmθ} = Q[m/64]·R[m%64], no
+              in-kernel transcendentals)
 
-Run: PYTHONPATH=/root/repo:/root/.axon_site python scripts/tpu_kernel_probe.py
+Each variant chains 30 device-resident dispatches at block_out=32768
+(dispatch floor amortized); median of 3 runs.  Output committed as
+scripts/tpu_kernel_probe.out.
 """
 
+import json
+import os
+import sys
 import time
 from functools import partial
 
 import numpy as np
 
-import jax
-import jax.numpy as jnp
-from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-from sigdigger_tpu.kernels.ops import atan2
+from sigdigger_tpu.utils.compile_cache import enable  # noqa: E402
 
-M, MT, C, CT, K = 8192, 2048, 1024, 128, 64
-KA, DA = 64, 8
-M_TILES, C_TILES = M // MT, C // CT
+enable()
 
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+from jax.experimental import pallas as pl  # noqa: E402
+from jax.experimental.pallas import tpu as pltpu  # noqa: E402
 
-def make_band():
-    rng = np.random.default_rng(1)
-    h = rng.standard_normal(KA).astype(np.float32) / KA
-    bt = np.zeros((MT // DA, MT + KA - 1), np.float32)
-    for i in range(MT // DA):
-        for t in range(KA):
-            bt[i, i * DA - t + KA - 1] = h[t]
-    return bt
+from sigdigger_tpu.kernels.ops import atan2  # noqa: E402
+
+MT, K, CT, C = 2048, 64, 128, 1024
+M_TILES = 16                     # block_out = 32768
+BLOCK_OUT = MT * M_TILES
+DA, KA, FT = 8, 64, 256
+R_ROWS = 64                      # rotation table split: m = 64q + r
 
 
-def kernel(xw_re, xw_im, h_re, h_im, theta, m_ramp, phi0, rot_cr, rot_ci,
-           bt, fb_in, audio_ref, fb_out, scr_prev, scr_f,
-           *, variant: str):
+def _kernel(xw_re, xw_im, h_re, h_im, h2, theta, m_ramp, phi0,
+            q_re, q_im, r_re, r_im, bt, out_ref, scr_f,
+            *, variant: str):
     mi = pl.program_id(1)
-    xr = xw_re[:] + fb_in[0:1, :]
+    xr = xw_re[:]
     xi = xw_im[:]
-    if variant == "F":
-        xr16, xi16 = xr.astype(jnp.bfloat16), xi.astype(jnp.bfloat16)
-        hr16, hi16 = h_re[:].astype(jnp.bfloat16), h_im[:].astype(jnp.bfloat16)
-        yr = jnp.dot(xr16, hr16, preferred_element_type=jnp.float32) \
-            - jnp.dot(xi16, hi16, preferred_element_type=jnp.float32)
-        yi = jnp.dot(xr16, hi16, preferred_element_type=jnp.float32) \
-            + jnp.dot(xi16, hr16, preferred_element_type=jnp.float32)
+    # ---- channelize ----
+    if variant == "concat1":
+        xc = jnp.concatenate([xr, xi], axis=1)          # [mt, 2K]
+        y2 = jnp.dot(xc, h2[:], preferred_element_type=jnp.float32)
+        yr = y2[:, :CT]
+        yi = y2[:, CT:]
+    elif variant == "wide2":
+        y2 = jnp.dot(xr, h2[0:K, :],
+                     preferred_element_type=jnp.float32) \
+            + jnp.dot(xi, h2[K:2 * K, :],
+                      preferred_element_type=jnp.float32)
+        yr = y2[:, :CT]
+        yi = y2[:, CT:]
     else:
         yr = jnp.dot(xr, h_re[:], preferred_element_type=jnp.float32) \
             - jnp.dot(xi, h_im[:], preferred_element_type=jnp.float32)
         yi = jnp.dot(xr, h_im[:], preferred_element_type=jnp.float32) \
             + jnp.dot(xi, h_re[:], preferred_element_type=jnp.float32)
-
-    if variant == "A":
+    if variant == "matonly":
+        rr, ri = yr, yi
+    elif variant in ("norot",):
+        rr, ri = yr, yi
+    elif variant == "tabrot":
+        # rot[m] = Q[m // 64] * R[m % 64]  (complex), tables in VMEM:
+        # Q rows broadcast 64x, R rows tiled mt/64 x — no trig
+        qs = MT // R_ROWS
+        cr_q = jnp.concatenate(
+            [jnp.broadcast_to(q_re[mi * qs + i:mi * qs + i + 1, :],
+                              (R_ROWS, CT)) for i in range(qs)], axis=0)
+        ci_q = jnp.concatenate(
+            [jnp.broadcast_to(q_im[mi * qs + i:mi * qs + i + 1, :],
+                              (R_ROWS, CT)) for i in range(qs)], axis=0)
+        cr_r = jnp.concatenate([r_re[:]] * qs, axis=0)
+        ci_r = jnp.concatenate([r_im[:]] * qs, axis=0)
+        cr = cr_q * cr_r - ci_q * ci_r
+        ci = cr_q * ci_r + ci_q * cr_r
+        rr = yr * cr - yi * ci
+        ri = yr * ci + yi * cr
+    else:
         ph = phi0[0:1, :] + m_ramp[:] * theta[:]
         cr = jnp.cos(ph)
         ci = -jnp.sin(ph)
+        rr = yr * cr - yi * ci
+        ri = yr * ci + yi * cr
+    if variant == "matonly":
+        f = rr
+    elif variant == "noatan":
+        pr = jnp.concatenate([rr[-1:, :], rr[:-1, :]], axis=0)
+        pi = jnp.concatenate([ri[-1:, :], ri[:-1, :]], axis=0)
+        f = rr * pr + ri * pi          # linear stand-in
     else:
-        cr = rot_cr[:]
-        ci = rot_ci[:]
-    rr = yr * cr - yi * ci
-    ri = yr * ci + yi * cr
-
-    @pl.when(mi == 0)
-    def _():
-        scr_prev[0:1, :] = jnp.zeros((1, CT), jnp.float32)
-        scr_prev[1:2, :] = jnp.zeros((1, CT), jnp.float32)
-        scr_f[0:KA - 1, :] = jnp.zeros((KA - 1, CT), jnp.float32)
-
-    pr = jnp.concatenate([scr_prev[0:1, :], rr[:-1, :]], axis=0)
-    pi = jnp.concatenate([scr_prev[1:2, :], ri[:-1, :]], axis=0)
-    dr = rr * pr + ri * pi
-    di = ri * pr - rr * pi
-    if variant == "C":
-        f = di * dr          # stand-in: bounds atan2's cost
-    else:
+        pr = jnp.concatenate([rr[-1:, :], rr[:-1, :]], axis=0)
+        pi = jnp.concatenate([ri[-1:, :], ri[:-1, :]], axis=0)
+        dr = rr * pr + ri * pi
+        di = ri * pr - rr * pi
         f = atan2(di, dr) * jnp.float32(1.0 / np.pi)
-
     scr_f[KA - 1:KA - 1 + MT, :] = f
-    if variant == "D":
-        aud = f[0:MT // DA, :]
-    elif variant == "E":
-        bt0 = bt[0:1, 0:KA]  # the tap row (band values, reversed)
-        acc = bt0[0, KA - 1] * scr_f[KA - 1:KA - 1 + MT:DA, :]
-        for t in range(1, KA):
-            acc = acc + bt0[0, KA - 1 - t] * \
-                scr_f[KA - 1 - t:KA - 1 - t + MT:DA, :]
-        aud = acc
-    else:
-        aud = jnp.dot(bt[:], scr_f[0:MT + KA - 1, :],
-                      preferred_element_type=jnp.float32)
-    audio_ref[:] = aud
-
-    scr_prev[0:1, :] = rr[-1:, :]
-    scr_prev[1:2, :] = ri[-1:, :]
+    fta = FT // DA
+    for fi in range(MT // FT):
+        chunk = jnp.dot(bt[:], scr_f[fi * FT:fi * FT + FT + KA - 1, :],
+                        preferred_element_type=jnp.float32)
+        out_ref[fi * fta:(fi + 1) * fta, :] = chunk
     scr_f[0:KA - 1, :] = scr_f[MT:MT + KA - 1, :]
-    fb_out[:] = aud[-1:, 0:K] * 1e-6
 
 
 def build(variant: str):
     grid_spec = pl.GridSpec(
-        grid=(C_TILES, M_TILES),
+        grid=(C // CT, M_TILES),
         in_specs=[
             pl.BlockSpec((MT, K), lambda ci, mi: (mi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((MT, K), lambda ci, mi, _mt=M_TILES: (_mt + mi, 0),
+            pl.BlockSpec((MT, K),
+                         lambda ci, mi, _m=M_TILES: (_m + mi, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((K, CT), lambda ci, mi: (0, ci),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((K, CT), lambda ci, mi: (0, ci),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * K, 2 * CT), lambda ci, mi: (0, ci),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, CT), lambda ci, mi: (0, ci),
                          memory_space=pltpu.VMEM),
@@ -129,68 +142,85 @@ def build(variant: str):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, CT), lambda ci, mi: (mi, ci),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((MT, CT), lambda ci, mi: (mi, ci),
-                         memory_space=pltpu.VMEM),      # rot_cr
-            pl.BlockSpec((MT, CT), lambda ci, mi: (mi, ci),
-                         memory_space=pltpu.VMEM),      # rot_ci
-            pl.BlockSpec((MT // DA, MT + KA - 1), lambda ci, mi: (0, 0),
+            pl.BlockSpec((MT // R_ROWS * M_TILES, CT),
+                         lambda ci, mi: (0, ci),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, K), lambda ci, mi: (0, 0),
-                         memory_space=pltpu.VMEM),      # fb_in
-        ],
-        out_specs=[
-            pl.BlockSpec((MT // DA, CT), lambda ci, mi: (mi, ci),
+            pl.BlockSpec((MT // R_ROWS * M_TILES, CT),
+                         lambda ci, mi: (0, ci),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, K), lambda ci, mi: (0, 0),
-                         memory_space=pltpu.VMEM),      # fb_out
+            pl.BlockSpec((R_ROWS, CT), lambda ci, mi: (0, ci),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R_ROWS, CT), lambda ci, mi: (0, ci),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((FT // DA, FT + KA - 1),
+                         lambda ci, mi: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((2, CT), jnp.float32),
-            pltpu.VMEM((MT + KA - 1, CT), jnp.float32),
-        ],
+        out_specs=pl.BlockSpec((MT // DA, CT),
+                               lambda ci, mi: (mi, ci),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((MT + KA - 1, CT), jnp.float32)],
     )
-    return jax.jit(pl.pallas_call(
-        partial(kernel, variant=variant),
+    call = pl.pallas_call(
+        partial(_kernel, variant=variant),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((M // DA, C), jnp.float32),
-                   jax.ShapeDtypeStruct((1, K), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((BLOCK_OUT // DA, C),
+                                       jnp.float32),
         interpret=False,
-    ))
+    )
+    return jax.jit(call)
 
 
 def main():
-    assert jax.default_backend() in ("tpu", "axon")
     rng = np.random.default_rng(0)
-    xw = jnp.asarray(rng.standard_normal((2 * M, K)).astype(np.float32))
-    h_re = jnp.asarray(rng.standard_normal((K, C)).astype(np.float32))
-    h_im = jnp.asarray(rng.standard_normal((K, C)).astype(np.float32))
-    theta = jnp.asarray(rng.standard_normal((1, C)).astype(np.float32))
-    m_ramp = jnp.asarray(np.arange(MT, dtype=np.float32)[:, None])
-    phi0 = jnp.asarray(np.zeros((M_TILES * 8, C), np.float32))
-    ph = (np.zeros((1, C)) + np.arange(M)[:, None]
-          * rng.standard_normal((1, C))).astype(np.float32)
-    rot_cr = jnp.asarray(np.cos(ph))
-    rot_ci = jnp.asarray(-np.sin(ph))
-    bt = jnp.asarray(make_band())
-
-    for variant in ("A", "B", "C", "D", "F"):
-        t0 = time.time()
-        call = build(variant)
-        fb = jnp.zeros((1, K), jnp.float32)
-        out = call(xw, xw, h_re, h_im, theta, m_ramp, phi0,
-                   rot_cr, rot_ci, bt, fb)
-        jax.block_until_ready(out)
-        compile_s = time.time() - t0
-        iters = 30
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = call(xw, xw, h_re, h_im, theta, m_ramp, phi0,
-                       rot_cr, rot_ci, bt, out[1])
-        jax.block_until_ready(out)
-        dt = (time.perf_counter() - t0) / iters
-        print(f"variant {variant}: {dt * 1e3:.3f} ms/block "
-              f"({M * 64 / dt / 1e6:.0f} Msps-eq, compile {compile_s:.0f}s)",
-              flush=True)
+    consts = dict(
+        h_re=jnp.asarray(rng.standard_normal((K, C)).astype(np.float32)),
+        h_im=jnp.asarray(rng.standard_normal((K, C)).astype(np.float32)),
+        h2=jnp.asarray(rng.standard_normal(
+            (2 * K, 2 * C)).astype(np.float32)),
+        theta=jnp.asarray(rng.standard_normal((1, C)).astype(np.float32)),
+        m_ramp=jnp.asarray(np.arange(MT, dtype=np.float32)[:, None]),
+        phi0=jnp.asarray(np.zeros((M_TILES * 8, C), np.float32)),
+        q_re=jnp.asarray(rng.standard_normal(
+            (MT // R_ROWS * M_TILES, C)).astype(np.float32)),
+        q_im=jnp.asarray(rng.standard_normal(
+            (MT // R_ROWS * M_TILES, C)).astype(np.float32)),
+        r_re=jnp.asarray(rng.standard_normal(
+            (R_ROWS, C)).astype(np.float32)),
+        r_im=jnp.asarray(rng.standard_normal(
+            (R_ROWS, C)).astype(np.float32)),
+        bt=jnp.asarray(rng.standard_normal(
+            (FT // DA, FT + KA - 1)).astype(np.float32)),
+    )
+    n_bufs, iters = 8, 30
+    xws = [jnp.asarray(rng.standard_normal(
+        (2 * BLOCK_OUT, K)).astype(np.float32)) for _ in range(n_bufs)]
+    args = [consts[k] for k in
+            ("h_re", "h_im", "h2", "theta", "m_ramp", "phi0",
+             "q_re", "q_im", "r_re", "r_im", "bt")]
+    results = {}
+    for variant in ("full", "norot", "noatan", "matonly", "wide2",
+                    "concat1", "tabrot"):
+        try:
+            call = build(variant)
+            out = call(xws[0], xws[0], *args)
+            jax.block_until_ready(out)
+            meds = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                outs = [call(xws[i % n_bufs], xws[i % n_bufs], *args)
+                        for i in range(iters)]
+                jax.block_until_ready(outs)
+                meds.append((time.perf_counter() - t0) / iters)
+            ms = min(meds) * 1e3
+            results[variant] = round(ms, 3)
+            print(f"{variant:8s} {ms:7.3f} ms/block "
+                  f"({BLOCK_OUT * 64 / min(meds) / 1e9:6.2f} Gsps)",
+                  flush=True)
+        except Exception as e:  # noqa: BLE001 — record and continue
+            results[variant] = f"FAILED: {e}"[:200]
+            print(f"{variant:8s} FAILED: {e}", flush=True)
+    print(json.dumps({"block_out": BLOCK_OUT, "ms": results}))
 
 
 if __name__ == "__main__":
