@@ -47,8 +47,26 @@ class TVProcessorParams:
 
 
 class TVProcessor:
-    def __init__(self, params: TVProcessorParams) -> None:
+    """``backend="auto"`` resamples lines on the Pallas MXU kernel
+    (kernels/tvline.py) on TPU backends — host keeps the sync/flywheel
+    structure work, the device does the interpolation arithmetic (the
+    same host-framing + device-compute split as the receiver);
+    "host"/"device" force.  The device path needs
+    ``pixels_per_line % 128 == 0`` (TPU lane width), else it falls
+    back to the host gather."""
+
+    def __init__(self, params: TVProcessorParams,
+                 backend: str = "auto") -> None:
         self.p = params
+        if backend == "auto":
+            import jax
+
+            backend = ("device" if jax.default_backend()
+                       in ("tpu", "axon") else "host")
+        if backend == "device" and params.pixels_per_line % 128:
+            backend = "host"
+        self.backend = backend
+        self._resampler = None
         self._period = params.samples_per_line
         self._next: float | None = None   # expected next line start
         self._row = 0
@@ -58,6 +76,39 @@ class TVProcessor:
         self.frames: list[np.ndarray] = []
         self._agc_lo = 0.0
         self._agc_hi = 1.0
+
+    def _device_lines(self, v: np.ndarray, line_starts: np.ndarray,
+                      offs0: float, step: float) -> np.ndarray:
+        """Frame per-line windows on host, resample on the MXU (true
+        linear interpolation — the host gather truncates)."""
+        from sigdigger_tpu.kernels.tvline import (
+            LineResampler,
+            LineResamplerConfig,
+        )
+
+        p = self.p
+        if self._resampler is None:
+            # widest window any in-range period needs (+2 interp taps)
+            w_need = int(np.ceil(
+                p.pixels_per_line
+                * (1.1 * p.samples_per_line * 0.85
+                   / p.pixels_per_line))) + 3
+            width = -(-w_need // 128) * 128
+            self._resampler = LineResampler(LineResamplerConfig(
+                width=width, pixels=p.pixels_per_line))
+        rs = self._resampler
+        rs.set_step(step)
+        pos = line_starts + offs0
+        ints = np.floor(pos).astype(np.int64)
+        frac = (pos - ints).astype(np.float32)
+        w = rs.cfg.width
+        idx = ints[:, None] + np.arange(w)[None, :]
+        np.clip(idx, 0, len(v) - 1, out=idx)
+        x = v[idx].astype(np.float32)
+        cap = rs.cfg.l_cap
+        outs = [rs.resample(x[i:i + cap], frac[i:i + cap])
+                for i in range(0, len(x), cap)]
+        return outs[0] if len(outs) == 1 else np.concatenate(outs)
 
     # -- helpers ------------------------------------------------------
 
@@ -161,13 +212,17 @@ class TVProcessor:
                     self._next = None
             return done
 
-        # ONE gather for every line in the block
-        offs = (p.sync_min_fraction * per_nom * 2 +
-                np.arange(p.pixels_per_line) *
-                (per * 0.85 / p.pixels_per_line))
-        idx = (line_starts[:, None] + offs[None, :]).astype(np.int64)
-        np.clip(idx, 0, len(v) - 1, out=idx)
-        lines = v[idx].astype(np.float32)           # (L, pixels)
+        # resample every line of the block at once
+        offs0 = p.sync_min_fraction * per_nom * 2
+        step = per * 0.85 / p.pixels_per_line
+        if self.backend == "device":
+            lines = self._device_lines(v, line_starts, offs0, step)
+        else:
+            # ONE truncating gather for every line (host path)
+            offs = offs0 + np.arange(p.pixels_per_line) * step
+            idx = (line_starts[:, None] + offs[None, :]).astype(np.int64)
+            np.clip(idx, 0, len(v) - 1, out=idx)
+            lines = v[idx].astype(np.float32)       # (L, pixels)
 
         # segment rows at vsync positions (field restarts)
         seg_id = np.searchsorted(vstarts, line_starts)

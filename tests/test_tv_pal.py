@@ -123,3 +123,28 @@ def test_throughput_exceeds_sample_rate():
     sig = np.concatenate([_make_field(None, k) for k in range(25)])
     _, rate = _decode(sig)
     assert rate > FS, f"{rate / 1e6:.1f} Msps < 8 Msps"
+
+
+def test_device_backend_matches_host():
+    """backend="device" resamples lines on the Pallas MXU kernel
+    (interpret mode here; the identical program compiles on TPU) and
+    reproduces the host decode — same frame structure, pixel values
+    within the truncation-vs-interpolation tolerance (the device path
+    linearly interpolates where the host gather truncates)."""
+    sig = np.concatenate([_make_field(None, k) for k in range(5)])
+    params = TVProcessorParams(
+        sample_rate=FS, line_rate=LINE_RATE,
+        lines_per_frame=LINES_PER_FIELD, pixels_per_line=384)
+    host = TVProcessor(params, backend="host")
+    dev = TVProcessor(params, backend="device")
+    assert dev.backend == "device"
+    fh: list[np.ndarray] = []
+    fd: list[np.ndarray] = []
+    for i in range(0, len(sig), 1 << 16):
+        fh.extend(host.feed(sig[i:i + (1 << 16)]))
+        fd.extend(dev.feed(sig[i:i + (1 << 16)]))
+    assert len(fd) == len(fh) >= 3
+    a, b = fh[1], fd[1]
+    corr = np.corrcoef(a.ravel(), b.ravel())[0, 1]
+    assert corr > 0.995, corr
+    assert float(np.mean(np.abs(a - b))) < 0.02
