@@ -351,12 +351,18 @@ def bench_engine(iters: int = 10) -> tuple[float, dict]:
 
 def bench_kernel() -> tuple[float, dict]:
     """Device-resident dispatches, timed exactly as the receiver issues
-    them: the fused channelizer and the shared-upload PSD as BACK-TO-
-    BACK pallas dispatches (carries chained device-side), with DISTINCT
-    pre-uploaded window buffers per iteration — no outer jit mixing XLA
-    elementwise ops with the pallas calls (measured ~5x overhead on the
-    axon backend: `+` between two chained pallas_calls inflated 0.22 ms
-    of kernels to ~1 ms), and no content-repeat the tunnel could dedupe.
+    them: the fused channelizer (table rotator, r5) and the
+    shared-upload PSD as BACK-TO-BACK pallas dispatches with carries
+    chained device-side, DISTINCT pre-uploaded window buffers per
+    iteration, at block_out=32768 (4 blocks per dispatch — the r4
+    VERDICT K-chaining ask; the grid amortizes the dispatch cost).
+
+    Timing protocol (r5, scripts/tpu_kernel_probe.out): on this
+    tunnel-attached backend ``block_until_ready`` alone does NOT prove
+    completion — the probe measured 7× past the f32 ceiling that way.
+    The clock stops only after FETCHING the chained carry row and the
+    last PSD block, which can only exist after every chained dispatch
+    actually executed.
     """
     import jax
     import jax.numpy as jnp
@@ -371,10 +377,11 @@ def bench_kernel() -> tuple[float, dict]:
     cfg = MatChannelizer2Config(
         sample_rate=SAMPLE_RATE, n_channels=N_CHANNELS, taps=64,
         decimation=64, audio_taps=64, audio_decim=32,
-        block_out=BLOCK_OUT, m_tile=2048, channel_tile=128,
+        block_out=4 * BLOCK_OUT, m_tile=2048, channel_tile=128,
     )
     f0s = np.linspace(-48e6, 48e6, cfg.n_channels)
-    mc = MatChannelizer2(cfg, f0s, bw=800e3, interpret=False)
+    mc = MatChannelizer2(cfg, f0s, bw=800e3, interpret=False,
+                         snap_grid=True)
 
     # the PSD reads the channelizer's packed window buffer — the same
     # two kernels KernelReceiver serves with (one upload per block)
@@ -383,34 +390,36 @@ def bench_kernel() -> tuple[float, dict]:
                               frames_per_program=8)
     psd = PallasPSDFromXW(psd_cfg, m_rows=cfg.block_out,
                           sample_rate=cfg.sample_rate, interpret=False)
-    m_tiles = cfg.block_out // cfg.m_tile
 
     rng = np.random.default_rng(0)
-    iters = 100                   # long enough to amortize queue fill
+    iters = 50
     xws = [jnp.asarray(rng.standard_normal(
         (2 * cfg.block_out, cfg.taps)).astype(np.float32))
         for _ in range(iters)]
-    phi0 = jnp.zeros((m_tiles * 8, cfg.n_channels), jnp.float32)
     prev = jnp.zeros((1, cfg.n_channels), jnp.float32)
     ftail = jnp.zeros((cfg.audio_taps - 1, cfg.n_channels), jnp.float32)
 
-    r = mc.feed_device(xws[0], phi0, prev, prev, ftail)
+    r = mc.feed_device(xws[0], None, prev, prev, ftail)
     p = psd._call(xws[0], xws[0], *psd._const)
     jax.block_until_ready((r, p))
+    np.asarray(r[1])
 
     t0 = time.perf_counter()
     outs = []
     for xw in xws:
-        audio, pr, pi, ft = mc.feed_device(xw, phi0, r[1], r[2], r[3])
+        audio, pr, pi, ft = mc.feed_device(xw, None, r[1], r[2], r[3])
         r = (audio, pr, pi, ft)
-        outs.append((audio, psd._call(xw, xw, *psd._const)))
-    jax.block_until_ready(outs)
+        p = psd._call(xw, xw, *psd._const)
+        outs.append(audio)
+    np.asarray(r[1])            # force completion of the carry chain
+    np.asarray(p)               # ... and of the last PSD dispatch
     dt = (time.perf_counter() - t0) / iters
 
     work = (roofline.channelizer2_work(cfg) + roofline.psd_work(psd_cfg))
     util = roofline.report(work, dt)
     return cfg.block_in / dt / 1e6, {
         "kernel_ms_per_block": round(dt * 1e3, 3),
+        "kernel_block_out": cfg.block_out,
         **{k: v for k, v in util.items() if k != "chip"},
     }
 

@@ -51,8 +51,8 @@ R_ROWS = 64                      # rotation table split: m = 64q + r
 
 
 def _kernel(xw_re, xw_im, h_re, h_im, h2, theta, m_ramp, phi0,
-            q_re, q_im, r_re, r_im, bt, out_ref, scr_f,
-            *, variant: str):
+            q_re, q_im, r_re, r_im, bt, carry_in, out_ref, carry_ref,
+            scr_f, *, variant: str):
     mi = pl.program_id(1)
     xr = xw_re[:]
     xi = xw_im[:]
@@ -83,11 +83,11 @@ def _kernel(xw_re, xw_im, h_re, h_im, h2, theta, m_ramp, phi0,
         # Q rows broadcast 64x, R rows tiled mt/64 x — no trig
         qs = MT // R_ROWS
         cr_q = jnp.concatenate(
-            [jnp.broadcast_to(q_re[mi * qs + i:mi * qs + i + 1, :],
-                              (R_ROWS, CT)) for i in range(qs)], axis=0)
+            [jnp.broadcast_to(q_re[i:i + 1, :], (R_ROWS, CT))
+             for i in range(qs)], axis=0)
         ci_q = jnp.concatenate(
-            [jnp.broadcast_to(q_im[mi * qs + i:mi * qs + i + 1, :],
-                              (R_ROWS, CT)) for i in range(qs)], axis=0)
+            [jnp.broadcast_to(q_im[i:i + 1, :], (R_ROWS, CT))
+             for i in range(qs)], axis=0)
         cr_r = jnp.concatenate([r_re[:]] * qs, axis=0)
         ci_r = jnp.concatenate([r_im[:]] * qs, axis=0)
         cr = cr_q * cr_r - ci_q * ci_r
@@ -112,13 +112,19 @@ def _kernel(xw_re, xw_im, h_re, h_im, h2, theta, m_ramp, phi0,
         dr = rr * pr + ri * pi
         di = ri * pr - rr * pi
         f = atan2(di, dr) * jnp.float32(1.0 / np.pi)
-    scr_f[KA - 1:KA - 1 + MT, :] = f
+    # the carry makes every chained execution unique (the remote
+    # runtime dedupes identical (executable, inputs) executions, which
+    # faked a first version of this probe ~7x past the f32 ceiling)
+    scr_f[KA - 1:KA - 1 + MT, :] = f + carry_in[0:1, :]
     fta = FT // DA
     for fi in range(MT // FT):
         chunk = jnp.dot(bt[:], scr_f[fi * FT:fi * FT + FT + KA - 1, :],
                         preferred_element_type=jnp.float32)
         out_ref[fi * fta:(fi + 1) * fta, :] = chunk
     scr_f[0:KA - 1, :] = scr_f[MT:MT + KA - 1, :]
+    @pl.when(mi == M_TILES - 1)
+    def _():
+        carry_ref[:] = carry_in[:] * 0.9999 + out_ref[0:8, :] * 1e-6
 
 
 def build(variant: str):
@@ -142,11 +148,11 @@ def build(variant: str):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, CT), lambda ci, mi: (mi, ci),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((MT // R_ROWS * M_TILES, CT),
-                         lambda ci, mi: (0, ci),
+            pl.BlockSpec((MT // R_ROWS, CT),
+                         lambda ci, mi: (mi, ci),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((MT // R_ROWS * M_TILES, CT),
-                         lambda ci, mi: (0, ci),
+            pl.BlockSpec((MT // R_ROWS, CT),
+                         lambda ci, mi: (mi, ci),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((R_ROWS, CT), lambda ci, mi: (0, ci),
                          memory_space=pltpu.VMEM),
@@ -155,17 +161,24 @@ def build(variant: str):
             pl.BlockSpec((FT // DA, FT + KA - 1),
                          lambda ci, mi: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, CT), lambda ci, mi: (0, ci),
+                         memory_space=pltpu.VMEM),      # carry_in
         ],
-        out_specs=pl.BlockSpec((MT // DA, CT),
-                               lambda ci, mi: (mi, ci),
-                               memory_space=pltpu.VMEM),
+        out_specs=[
+            pl.BlockSpec((MT // DA, CT), lambda ci, mi: (mi, ci),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, CT), lambda ci, mi: (0, ci),
+                         memory_space=pltpu.VMEM),      # carry_out
+        ],
         scratch_shapes=[pltpu.VMEM((MT + KA - 1, CT), jnp.float32)],
     )
     call = pl.pallas_call(
         partial(_kernel, variant=variant),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((BLOCK_OUT // DA, C),
-                                       jnp.float32),
+        out_shape=[
+            jax.ShapeDtypeStruct((BLOCK_OUT // DA, C), jnp.float32),
+            jax.ShapeDtypeStruct((8, C), jnp.float32),
+        ],
         interpret=False,
     )
     return jax.jit(call)
@@ -192,27 +205,44 @@ def main():
         bt=jnp.asarray(rng.standard_normal(
             (FT // DA, FT + KA - 1)).astype(np.float32)),
     )
-    n_bufs, iters = 8, 30
+    n_bufs, iters = 8, 100
     xws = [jnp.asarray(rng.standard_normal(
         (2 * BLOCK_OUT, K)).astype(np.float32)) for _ in range(n_bufs)]
     args = [consts[k] for k in
             ("h_re", "h_im", "h2", "theta", "m_ramp", "phi0",
              "q_re", "q_im", "r_re", "r_im", "bt")]
+    carry0 = jnp.asarray(
+        rng.standard_normal((8, C)).astype(np.float32))
     results = {}
     for variant in ("full", "norot", "noatan", "matonly", "wide2",
                     "concat1", "tabrot"):
         try:
             call = build(variant)
-            out = call(xws[0], xws[0], *args)
-            jax.block_until_ready(out)
-            meds = []
+            out, carry = call(xws[0], xws[0], *args, carry0)
+            jax.block_until_ready((out, carry))
+            meds, meds_nf = [], []
             for _ in range(3):
+                # block_until_ready through the tunnel does not prove
+                # completion (submission-only); fetching the chained
+                # carry VALUE does — D2H can only follow real compute.
                 t0 = time.perf_counter()
-                outs = [call(xws[i % n_bufs], xws[i % n_bufs], *args)
-                        for i in range(iters)]
-                jax.block_until_ready(outs)
+                outs = []
+                for i in range(iters):
+                    out, carry = call(xws[i % n_bufs], xws[i % n_bufs],
+                                      *args, carry)
+                    outs.append(out)
+                jax.block_until_ready((outs, carry))
+                meds_nf.append((time.perf_counter() - t0) / iters)
+                t0 = time.perf_counter()
+                for i in range(iters):
+                    out, carry = call(xws[i % n_bufs], xws[i % n_bufs],
+                                      *args, carry)
+                    outs.append(out)
+                np.asarray(carry)          # force completion (1 RTT)
                 meds.append((time.perf_counter() - t0) / iters)
             ms = min(meds) * 1e3
+            print(f"  (no-fetch timing: {min(meds_nf)*1e3:.3f} ms)",
+                  flush=True)
             results[variant] = round(ms, 3)
             print(f"{variant:8s} {ms:7.3f} ms/block "
                   f"({BLOCK_OUT * 64 / min(meds) / 1e9:6.2f} Gsps)",

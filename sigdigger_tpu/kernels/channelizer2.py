@@ -110,7 +110,7 @@ def _kernel2(xw_re, xw_im, h_re, h_im, theta, m_ramp, phi0, prev_re,
              ftail_out_ref, scr_prev, scr_f,
              *, mt: int, ka: int, ft: int, da: int, m_tiles: int,
              quad_gain: float, in_gain: float = 1.0,
-             audio_bf16: bool = False):
+             audio_bf16: bool = False, table_rot: bool = False):
     mi = pl.program_id(1)
 
     xr = xw_re[:]
@@ -124,12 +124,37 @@ def _kernel2(xw_re, xw_im, h_re, h_im, theta, m_ramp, phi0, prev_re,
     yi = jnp.dot(xr, h_im[:], preferred_element_type=jnp.float32) \
         + jnp.dot(xi, h_re[:], preferred_element_type=jnp.float32)
 
-    # phi0 block row 0 already includes the mi*Mt*theta offset (host
-    # f64), keeping trig arguments small enough for f32 precision (rows
-    # are padded to 8 for the TPU sublane tiling rule)
-    ph = phi0[0:1, :] + m_ramp[:] * theta[:]
-    cr = jnp.cos(ph)
-    ci = -jnp.sin(ph)
+    if table_rot:
+        # rotator from precomputed phase tables (measured r5,
+        # scripts/tpu_kernel_probe.out: in-kernel cos/sin was 58% of
+        # the whole kernel; the table product is ~20x cheaper).
+        # e^{-j m θ_c} factors as Q[m // 64]·R[m % 64]: Q rows (one
+        # per 64-sample span, f64-built on host, phi0 folded in) are
+        # broadcast 64x, R rows tile mt/64x — no transcendentals.
+        # Here (phi0, theta) carry the table planes: phi0 = Q
+        # [qs, ct] for this tile, theta = R [64, ct] interleaved
+        # re/im via lane-split constants q_re/q_im packed as
+        # [2*qs, ct] and [128, ct].
+        qs = mt // 64
+        q_re, q_im = phi0[0:qs, :], phi0[qs:2 * qs, :]
+        r_re, r_im = theta[0:64, :], theta[64:128, :]
+        cr_q = jnp.concatenate(
+            [jnp.broadcast_to(q_re[i:i + 1, :], (64, q_re.shape[1]))
+             for i in range(qs)], axis=0)
+        ci_q = jnp.concatenate(
+            [jnp.broadcast_to(q_im[i:i + 1, :], (64, q_im.shape[1]))
+             for i in range(qs)], axis=0)
+        cr_r = jnp.concatenate([r_re] * qs, axis=0)
+        ci_r = jnp.concatenate([r_im] * qs, axis=0)
+        cr = cr_q * cr_r - ci_q * ci_r
+        ci = cr_q * ci_r + ci_q * cr_r
+    else:
+        # phi0 block row 0 already includes the mi*Mt*theta offset
+        # (host f64), keeping trig arguments small enough for f32
+        # precision (rows are padded to 8 for the sublane tiling rule)
+        ph = phi0[0:1, :] + m_ramp[:] * theta[:]
+        cr = jnp.cos(ph)
+        ci = -jnp.sin(ph)
     rr = yr * cr - yi * ci
     ri = yr * ci + yi * cr
 
@@ -219,11 +244,45 @@ class MatChannelizer2:
         self._theta64 = np.mod(
             _TWO_PI * np.broadcast_to(f0s, (c,))
             / cfg.sample_rate * cfg.decimation, _TWO_PI)
+        # table-based rotator (r5, scripts/tpu_kernel_probe.out:
+        # in-kernel cos/sin measured 58% of the kernel; the Q·R table
+        # product removes it).  Needs the snapped grid — tables are
+        # then block-invariant device constants.
+        self._table_rot = bool(snap_grid) and cfg.m_tile % 64 == 0
         self._call = self._build()
-        # with a snapped grid the per-block phase advance is ≡ 0 mod 2π,
-        # so the phase-tile pattern is one device-resident constant
-        self._phi0_dev = (jnp.asarray(self._phi_tiles())
-                          if snap_grid else None)
+        if self._table_rot:
+            q_tab, r_tab = self._rot_tables()
+            # the phi0/theta argument slots carry the Q/R planes
+            self.consts["theta"] = jnp.asarray(r_tab)
+            self._phi0_dev = jnp.asarray(q_tab)
+        else:
+            # with a snapped grid the per-block phase advance is ≡ 0
+            # mod 2π, so the phase-tile pattern is one device constant
+            self._phi0_dev = (jnp.asarray(self._phi_tiles())
+                              if snap_grid else None)
+
+    def _rot_tables(self) -> tuple[np.ndarray, np.ndarray]:
+        """Rotator factor tables, f64-built: Q rows e^{-j(φ0+64gθ)}
+        per 64-sample span of each tile (cos rows then -sin rows,
+        [m_tiles·2qs, C]) and R rows e^{-j rθ}, r<64 ([128, C])."""
+        cfg = self.cfg
+        th = self._theta64.astype(np.float64)
+        phi = self._phi[0]
+        qs = cfg.m_tile // 64
+        m_tiles = cfg.block_out // cfg.m_tile
+        g = np.arange(qs, dtype=np.float64)
+        q = np.zeros((m_tiles * 2 * qs, cfg.n_channels), np.float32)
+        for mi in range(m_tiles):
+            ang = np.mod(
+                phi[None, :] + (mi * cfg.m_tile + g[:, None] * 64.0)
+                * th[None, :], _TWO_PI)
+            q[mi * 2 * qs:mi * 2 * qs + qs] = np.cos(ang)
+            q[mi * 2 * qs + qs:(mi + 1) * 2 * qs] = -np.sin(ang)
+        r_ang = np.mod(
+            np.arange(64.0)[:, None] * th[None, :], _TWO_PI)
+        r = np.concatenate([np.cos(r_ang), -np.sin(r_ang)]
+                           ).astype(np.float32)
+        return q, r
 
     def _build(self):
         cfg = self.cfg
@@ -248,12 +307,21 @@ class MatChannelizer2:
                              memory_space=pltpu.VMEM),      # h_re
                 pl.BlockSpec((k, ct), lambda ci, mi: (0, ci),
                              memory_space=pltpu.VMEM),      # h_im
-                pl.BlockSpec((1, ct), lambda ci, mi: (0, ci),
-                             memory_space=pltpu.VMEM),      # theta
+                # table mode: the theta slot carries the R table
+                # [128, C], the phi0 slot the per-tile Q rows
+                (pl.BlockSpec((128, ct), lambda ci, mi: (0, ci),
+                              memory_space=pltpu.VMEM)
+                 if self._table_rot else
+                 pl.BlockSpec((1, ct), lambda ci, mi: (0, ci),
+                              memory_space=pltpu.VMEM)),    # theta / R
                 pl.BlockSpec((mt, 1), lambda ci, mi: (0, 0),
                              memory_space=pltpu.VMEM),      # m_ramp
-                pl.BlockSpec((8, ct), lambda ci, mi: (mi, ci),
-                             memory_space=pltpu.VMEM),      # phi0
+                (pl.BlockSpec((2 * (mt // 64), ct),
+                              lambda ci, mi: (mi, ci),
+                              memory_space=pltpu.VMEM)
+                 if self._table_rot else
+                 pl.BlockSpec((8, ct), lambda ci, mi: (mi, ci),
+                              memory_space=pltpu.VMEM)),    # phi0 / Q
                 pl.BlockSpec((1, ct), lambda ci, mi: (0, ci),
                              memory_space=pltpu.VMEM),      # prev_re
                 pl.BlockSpec((1, ct), lambda ci, mi: (0, ci),
@@ -287,7 +355,8 @@ class MatChannelizer2:
                     m_tiles=m_tiles, quad_gain=cfg.quad_gain,
                     in_gain=(1.0 / cfg.i8_scale if cfg.in_i8
                              else 1.0 / cfg.i16_scale),
-                    audio_bf16=cfg.audio_bf16),
+                    audio_bf16=cfg.audio_bf16,
+                    table_rot=self._table_rot),
             grid_spec=grid_spec,
             out_shape=[
                 jax.ShapeDtypeStruct((cfg.audio_out, c), audio_dtype),
@@ -368,6 +437,8 @@ class MatChannelizer2:
         return out
 
     def feed_device(self, xw_packed, phi0, prev_re, prev_im, ftail):
+        if phi0 is None:
+            phi0 = self._phi0_dev
         return self._call(
             xw_packed, xw_packed, self.consts["h_re"],
             self.consts["h_im"], self.consts["theta"],
