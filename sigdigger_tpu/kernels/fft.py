@@ -345,7 +345,13 @@ class PallasPSDFromXW(PallasPSD):
                  window: WindowFunction = WindowFunction.BLACKMANN_HARRIS,
                  alpha: float = 0.25,
                  interpret: bool | None = None,
-                 in_scale: float = 1.0) -> None:
+                 in_scale: float = 1.0,
+                 frame_stride: int = 1) -> None:
+        """``frame_stride=s`` folds every s-th frame group instead of
+        all frames — the reference engine's spectrum is per-INTERVAL
+        (one windowed FFT per PSD tick, SURVEY §3.2), so full-coverage
+        framing over-delivers; striding trades unneeded spectral duty
+        cycle for kernel time (PSD work / s)."""
         super().__init__(cfg, sample_rate, window, alpha, interpret)
         a, b = cfg.a, cfg.b
         fb = cfg.frames_per_program
@@ -389,11 +395,17 @@ class PallasPSDFromXW(PallasPSD):
                        jnp.asarray(db_re), jnp.asarray(db_im),
                        jnp.asarray(fsum))
         wsum2 = float(np.sum(self._taps ** 2))
-        scale = 1.0 / (self.sample_rate * wsum2 * cfg.frames_per_block)
-        n_prog = cfg.frames_per_block // fb
+        s = max(1, int(frame_stride))
+        assert cfg.frames_per_block % (fb * s) == 0, (
+            f"frames_per_block {cfg.frames_per_block} not divisible "
+            f"by frames_per_program*stride = {fb}*{s}")
+        self.frame_stride = s
+        scale = 1.0 / (self.sample_rate * wsum2
+                       * (cfg.frames_per_block // s))
+        n_prog = cfg.frames_per_block // fb // s
         im_off = m_rows // (fb * a)       # im plane starts at row M
         self._xw_interpret = interpret
-        self._xw_dims = (a, b, fb, scale, n_prog, im_off)
+        self._xw_dims = (a, b, fb, scale, n_prog, im_off, s)
         self._call = self._build_xw(ema=False)
         self._call_ema = None             # built on first feed_ema
         self._psd_dev = None              # device-resident EMA carry
@@ -402,12 +414,12 @@ class PallasPSDFromXW(PallasPSD):
         self._one_plane = jnp.ones((a, b), jnp.float32)
 
     def _build_xw(self, ema: bool):
-        a, b, fb, scale, n_prog, im_off = self._xw_dims
+        a, b, fb, scale, n_prog, im_off, stride = self._xw_dims
         in_specs = [
-            pl.BlockSpec((fb * a, b), lambda i: (i, 0),
+            pl.BlockSpec((fb * a, b), lambda i, _s=stride: (i * _s, 0),
                          memory_space=pltpu.VMEM),   # xw packed re
             pl.BlockSpec((fb * a, b),
-                         lambda i, _o=im_off: (_o + i, 0),
+                         lambda i, _o=im_off, _s=stride: (_o + i * _s, 0),
                          memory_space=pltpu.VMEM),   # xw packed im
             pl.BlockSpec((fb * a, b), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),   # w2d (tiled)

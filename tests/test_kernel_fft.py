@@ -108,3 +108,30 @@ def test_psd_from_xw_matches_standalone():
     got = shared.feed(xw)
     want = solo.feed(np.concatenate([hist, x])[:ccfg.block_in])
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-12)
+
+
+def test_xw_psd_frame_stride():
+    """frame_stride folds every s-th frame group (the reference's
+    per-interval spectrum duty cycle); a stationary tone yields the
+    same peak and level as the full-coverage fold."""
+    import numpy as np
+
+    from sigdigger_tpu.kernels.fft import PallasPSDConfig, PallasPSDFromXW
+
+    fs = 1_024_000.0
+    n_fft, frames = 4096, 16
+    cfg = PallasPSDConfig(fft_size=n_fft, frames_per_block=frames,
+                          frames_per_program=2)
+    m_rows = cfg.block_in // 64
+    full = PallasPSDFromXW(cfg, m_rows, fs, interpret=True)
+    strided = PallasPSDFromXW(cfg, m_rows, fs, interpret=True,
+                              frame_stride=4)
+    t = np.arange(cfg.block_in) / fs
+    x = (0.8 * np.exp(2j * np.pi * 128_000.0 * t)).astype(np.complex64)
+    xw = np.concatenate([
+        x.real.reshape(m_rows, 64), x.imag.reshape(m_rows, 64)])
+    a = full.feed(xw)
+    b = strided.feed(xw)
+    assert np.argmax(a) == np.argmax(b)
+    pk = int(np.argmax(a))
+    np.testing.assert_allclose(b[pk], a[pk], rtol=1e-3)
