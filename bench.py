@@ -388,12 +388,12 @@ def bench_kernel() -> tuple[float, dict]:
     psd_cfg = PallasPSDConfig(fft_size=PSD_FFT,
                               frames_per_block=cfg.block_in // PSD_FFT,
                               frames_per_program=8)
-    # frame_stride 4: the PSD folds every 4th frame group — still 4x+
-    # the reference's per-interval spectral duty cycle (SURVEY §3.2),
-    # at 1/4 the four-step DFT work
+    # full-coverage PSD (frame_stride=1): striding to the reference's
+    # per-interval duty cycle measured NO wall-time change at this
+    # block size — the path is dispatch/submission-bound, not
+    # PSD-arithmetic-bound (r5, /tmp measurements in BENCHMARKS.md)
     psd = PallasPSDFromXW(psd_cfg, m_rows=cfg.block_out,
-                          sample_rate=cfg.sample_rate, interpret=False,
-                          frame_stride=4)
+                          sample_rate=cfg.sample_rate, interpret=False)
 
     rng = np.random.default_rng(0)
     iters = 50
@@ -419,8 +419,13 @@ def bench_kernel() -> tuple[float, dict]:
     np.asarray(p)               # ... and of the last PSD dispatch
     dt = (time.perf_counter() - t0) / iters
 
-    work = (roofline.channelizer2_work(cfg)
-            + roofline.psd_work(psd_cfg) / psd.frame_stride)
+    pw = roofline.psd_work(psd_cfg)
+    s = float(psd.frame_stride)
+    pw = roofline.KernelWork(           # only 1/s of the frames fold
+        name=pw.name, mxu_flops=pw.mxu_flops / s,
+        useful_flops=pw.useful_flops / s, vpu_flops=pw.vpu_flops / s,
+        hbm_bytes=pw.hbm_bytes / s)
+    work = roofline.channelizer2_work(cfg) + pw
     util = roofline.report(work, dt)
     return cfg.block_in / dt / 1e6, {
         "kernel_ms_per_block": round(dt * 1e3, 3),
