@@ -470,7 +470,10 @@ def build_parser() -> argparse.ArgumentParser:
                         default="auto")
         pl.add_argument("--i8", action="store_true",
                         help="int8 device uploads (8-bit SDR wire "
-                             "precision; quarters the H2D bytes)")
+                             "precision; quarters the H2D bytes — "
+                             "with --depth 3 the measured-fastest "
+                             "wideband serving config, +19% at 1024 "
+                             "inspectors)")
         pl.add_argument("--depth", type=int, default=2,
                         help="block pipeline depth (kernel engine)")
         pl.add_argument("--decimation", type=int, default=16,
