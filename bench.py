@@ -124,13 +124,15 @@ def bench_end_to_end(iters: int = 24) -> tuple[float, dict]:
     blocks = _make_blocks(rx.block_in, n=iters + 2)
     for b in blocks[:2]:                      # warm + state settle
         rx.feed(b)
-    # pipelined steady state, per-block wall times
+    # pipelined steady state, per-block wall times (depth 3: deeper
+    # overlap smooths the tunnel's multi-block latency spikes — the
+    # r5 variant matrix's measured-better serving depth)
     inflight: list = []
     times = []
     t_prev = time.perf_counter()
     for x in blocks[2:]:
         inflight.append(rx.feed_async(x))
-        if len(inflight) >= 2:
+        if len(inflight) >= 3:
             rx.drain(inflight.pop(0))
         now = time.perf_counter()
         times.append(now - t_prev)
@@ -251,7 +253,7 @@ def bench_engine(iters: int = 10) -> tuple[float, dict]:
     an = KernelAnalyzer(source=src, params=params, block_size=block,
                         n_slots=1024, decimation=64, audio_decim=32,
                         compact_cols=1024, interpret=False,
-                        pipeline_depth=2, symbol_group=4,
+                        pipeline_depth=3, symbol_group=4,
                         drain_thread=True)
     with an.bulk_config():
         for i in range(832):
