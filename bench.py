@@ -212,7 +212,7 @@ def bench_e2e_i8(iters: int = 12) -> tuple[float, dict]:
     }
 
 
-def bench_engine(iters: int = 10) -> tuple[float, dict]:
+def bench_engine(iters: int = 10, i8: bool = False) -> tuple[float, dict]:
     """The KernelAnalyzer at the BASELINE.json north star: ~1024 OPEN
     INSPECTORS (832 audio + 48 psk + 8 fsk + 8 ask + 128 power)
     stepped block-by-block through the full session protocol — open
@@ -254,7 +254,7 @@ def bench_engine(iters: int = 10) -> tuple[float, dict]:
                         n_slots=1024, decimation=64, audio_decim=32,
                         compact_cols=1024, interpret=False,
                         pipeline_depth=3, symbol_group=4,
-                        drain_thread=True)
+                        drain_thread=True, in_i8=i8)
     with an.bulk_config():
         for i in range(832):
             an.open_inspector(
@@ -486,10 +486,14 @@ def main() -> None:
         e2e_msps, eextra = bench_end_to_end()
         _, i8extra = bench_e2e_i8()
         engine_msps, gextra = bench_engine()
+        # the RECOMMENDED wideband serving config (int8 uploads,
+        # r5 decision matrix scripts/tpu_engine_variants.out)
+        engine_i8_msps, _ = bench_engine(iters=6, i8=True)
         extra = {
             "end_to_end_msps": round(e2e_msps, 2),
             "kernel_msps": round(kernel_msps, 2),
             "engine_msps": round(engine_msps, 2),
+            "engine_i8_msps": round(engine_i8_msps, 2),
             **link, **eextra, **i8extra, **kextra, **gextra,
             "channels": N_CHANNELS,
             "path": "pallas-fused-v2",
