@@ -360,3 +360,68 @@ def test_fsk_decider_range_is_stable_across_blocks():
     for m in per_block_maps[1:]:
         for tone, sid in m.items():
             assert base.get(tone, sid) == sid
+
+
+def test_drain_thread_survives_control_churn():
+    """Open/close/retune/reconfigure from a control thread while the
+    engine streams with the threaded drain: no crashes, messages keep
+    flowing, closed slots just stop producing (reference async
+    inspector semantics under the r5 drain worker)."""
+    import threading
+
+    emitters = [Emitter(freq=-60e3, amplitude=1.0, fm_rate=300.0,
+                        fm_dev=2e3),
+                Emitter(freq=40e3, amplitude=1.0, kind="psk",
+                        baud=2000.0, order=4, seed=5)]
+    an = make_engine(emitters, pipeline_depth=2, drain_thread=True,
+                     symbol_group=2)
+    h0 = an.open_inspector(
+        "audio", Channel(fc=-60e3, bw=8e3),
+        config={"audio.demodulator": 2, "audio.volume": 1.0,
+                "audio.sample-rate": an.audio_rate})
+    an.poll()
+    stop = threading.Event()
+    errors: list = []
+
+    def churn():
+        import random
+        rng = random.Random(3)
+        handles = []
+        try:
+            while not stop.is_set():
+                op = rng.random()
+                if op < 0.35:
+                    cls = "psk" if rng.random() < 0.5 else "audio"
+                    cfg = ({"clock.baud": 2000.0} if cls == "psk"
+                           else {"audio.demodulator": 2})
+                    handles.append(an.open_inspector(
+                        cls, Channel(fc=rng.uniform(-80e3, 80e3),
+                                     bw=8e3), config=cfg))
+                elif op < 0.6 and handles:
+                    an.close_inspector(handles.pop())
+                elif op < 0.8:
+                    an.set_inspector_freq(h0, rng.uniform(-70e3, -50e3))
+                else:
+                    an.set_inspector_config(
+                        h0, {"audio.volume": rng.uniform(0.2, 1.0),
+                             "audio.squelch": rng.random() < 0.5})
+        except Exception as e:  # noqa: BLE001 — the test's assertion
+            errors.append(e)
+
+    t = threading.Thread(target=churn)
+    t.start()
+    n_samples = 0
+    try:
+        for _ in range(8):
+            assert an.step()
+            for m in an.poll():
+                if m.kind == MessageKind.SAMPLES:
+                    n_samples += 1
+    finally:
+        stop.set()
+        t.join(timeout=10)
+    if an._drain_q is not None:
+        an._drain_q.join()
+    n_samples += sum(m.kind == MessageKind.SAMPLES for m in an.poll())
+    assert not errors, errors
+    assert n_samples >= 8          # the original inspector kept flowing
