@@ -352,12 +352,12 @@ def bench_engine(iters: int = 10, i8: bool = False) -> tuple[float, dict]:
 
 
 def bench_kernel() -> tuple[float, dict]:
-    """Device-resident dispatches, timed exactly as the receiver issues
-    them: the fused channelizer (table rotator, r5) and the
-    shared-upload PSD as BACK-TO-BACK pallas dispatches with carries
-    chained device-side, DISTINCT pre-uploaded window buffers per
-    iteration, at block_out=32768 (4 blocks per dispatch — the r4
-    VERDICT K-chaining ask; the grid amortizes the dispatch cost).
+    """Device-resident dispatches, timed exactly as the receiver can
+    issue them: ONE fused pallas dispatch per block — channelizer
+    (table rotator) WITH the four-step PSD folded into its grid
+    (fuse_psd, r5) — carries chained device-side, DISTINCT
+    pre-uploaded window buffers per iteration, at block_out=32768
+    (4 blocks per dispatch — the r4 VERDICT K-chaining ask).
 
     Timing protocol (r5, scripts/tpu_kernel_probe.out): on this
     tunnel-attached backend ``block_until_ready`` alone does NOT prove
@@ -373,29 +373,26 @@ def bench_kernel() -> tuple[float, dict]:
         MatChannelizer2,
         MatChannelizer2Config,
     )
-    from sigdigger_tpu.kernels.fft import PallasPSDConfig, PallasPSDFromXW
+    from sigdigger_tpu.kernels.fft import PallasPSDConfig
     from sigdigger_tpu.utils import roofline
 
     cfg = MatChannelizer2Config(
         sample_rate=SAMPLE_RATE, n_channels=N_CHANNELS, taps=64,
         decimation=64, audio_taps=64, audio_decim=32,
         block_out=4 * BLOCK_OUT, m_tile=2048, channel_tile=128,
+        # fold the four-step PSD INTO the channelizer grid (r5):
+        # a standalone PSD dispatch carries ~0.9 ms of per-dispatch
+        # floor regardless of its arithmetic (same-episode A/Bs in
+        # BENCHMARKS.md); fused, it rides the channelizer's
+        # 128-program amortization — ONE dispatch serves both
+        fuse_psd=True, psd_fft=PSD_FFT,
     )
     f0s = np.linspace(-48e6, 48e6, cfg.n_channels)
     mc = MatChannelizer2(cfg, f0s, bw=800e3, interpret=False,
                          snap_grid=True)
-
-    # the PSD reads the channelizer's packed window buffer — the same
-    # two kernels KernelReceiver serves with (one upload per block)
     psd_cfg = PallasPSDConfig(fft_size=PSD_FFT,
                               frames_per_block=cfg.block_in // PSD_FFT,
                               frames_per_program=8)
-    # full-coverage PSD (frame_stride=1): striding to the reference's
-    # per-interval duty cycle measured NO wall-time change at this
-    # block size — the path is dispatch/submission-bound, not
-    # PSD-arithmetic-bound (r5, /tmp measurements in BENCHMARKS.md)
-    psd = PallasPSDFromXW(psd_cfg, m_rows=cfg.block_out,
-                          sample_rate=cfg.sample_rate, interpret=False)
 
     rng = np.random.default_rng(0)
     iters = 50
@@ -406,28 +403,18 @@ def bench_kernel() -> tuple[float, dict]:
     ftail = jnp.zeros((cfg.audio_taps - 1, cfg.n_channels), jnp.float32)
 
     r = mc.feed_device(xws[0], None, prev, prev, ftail)
-    p = psd._call(xws[0], xws[0], *psd._const)
-    jax.block_until_ready((r, p))
+    jax.block_until_ready(r)
     np.asarray(r[1])
 
     t0 = time.perf_counter()
-    outs = []
     for xw in xws:
-        audio, pr, pi, ft = mc.feed_device(xw, None, r[1], r[2], r[3])
-        r = (audio, pr, pi, ft)
-        p = psd._call(xw, xw, *psd._const)
-        outs.append(audio)
+        out = mc.feed_device(xw, None, r[1], r[2], r[3])
+        r = out
     np.asarray(r[1])            # force completion of the carry chain
-    np.asarray(p)               # ... and of the last PSD dispatch
+    np.asarray(r[4])            # ... incl. the final fused PSD block
     dt = (time.perf_counter() - t0) / iters
 
-    pw = roofline.psd_work(psd_cfg)
-    s = float(psd.frame_stride)
-    pw = roofline.KernelWork(           # only 1/s of the frames fold
-        name=pw.name, mxu_flops=pw.mxu_flops / s,
-        useful_flops=pw.useful_flops / s, vpu_flops=pw.vpu_flops / s,
-        hbm_bytes=pw.hbm_bytes / s)
-    work = roofline.channelizer2_work(cfg) + pw
+    work = roofline.channelizer2_work(cfg) + roofline.psd_work(psd_cfg)
     util = roofline.report(work, dt)
     return cfg.block_in / dt / 1e6, {
         "kernel_ms_per_block": round(dt * 1e3, 3),

@@ -61,6 +61,20 @@ class MatChannelizer2Config:
     in_i8: bool = False
     i8_scale: float = 64.0       # counts per unit (2x headroom)
     audio_bf16: bool = False     # drain audio as bfloat16 (2x D2H)
+    # fold the Bailey four-step PSD INTO this kernel's grid (channel
+    # tile 0 computes it from the already-loaded window slabs): the
+    # PSD then rides the channelizer's amortized dispatch instead of
+    # paying its own ~0.5-0.9 ms per-dispatch floor (measured r5,
+    # BENCHMARKS.md).  Requires taps == 64 and psd_fft == 4096
+    # (A = B = 64) and m_tile % 512 == 0.
+    fuse_psd: bool = False
+    psd_fft: int = 4096
+    # frames per fused-PSD chunk: the block-diagonal DFT_A executes
+    # psd_fb x the per-frame flops (the price of batching frames into
+    # one MXU-sized matmul).  fb=2 measured fastest on-chip AND is
+    # what the per-program slab admits at the 1024-channel serving
+    # geometry (BENCHMARKS.md).
+    psd_fb: int = 2
 
     def __post_init__(self):
         assert self.block_out % self.m_tile == 0
@@ -77,6 +91,10 @@ class MatChannelizer2Config:
                                else self.m_tile)
         assert self.m_tile % self.fir_tile == 0
         assert self.fir_tile % self.audio_decim == 0
+        if self.fuse_psd:
+            assert self.taps == 64 and self.psd_fft == 4096, \
+                "fuse_psd needs the A=B=64 Bailey geometry"
+            assert self.m_tile % (128 * self.psd_fb) == 0
 
     @property
     def block_in(self) -> int:
@@ -106,11 +124,19 @@ def _local_band(cfg: MatChannelizer2Config) -> np.ndarray:
 
 
 def _kernel2(xw_re, xw_im, h_re, h_im, theta, m_ramp, phi0, prev_re,
-             prev_im, ftail_in, bt, audio_ref, last_re_ref, last_im_ref,
-             ftail_out_ref, scr_prev, scr_f,
-             *, mt: int, ka: int, ft: int, da: int, m_tiles: int,
+             prev_im, ftail_in, bt, *rest,
+             mt: int, ka: int, ft: int, da: int, m_tiles: int,
              quad_gain: float, in_gain: float = 1.0,
-             audio_bf16: bool = False, table_rot: bool = False):
+             audio_bf16: bool = False, table_rot: bool = False,
+             fuse_psd: bool = False, psd_scale: float = 1.0,
+             psd_fb: int = 8):
+    if fuse_psd:
+        (w2d, bd_re, bd_im, tw_re, tw_im, db_re, db_im, fsum, fold,
+         audio_ref, last_re_ref, last_im_ref, ftail_out_ref, psd_ref,
+         scr_prev, scr_f) = rest
+    else:
+        (audio_ref, last_re_ref, last_im_ref, ftail_out_ref,
+         scr_prev, scr_f) = rest
     mi = pl.program_id(1)
 
     xr = xw_re[:]
@@ -194,6 +220,58 @@ def _kernel2(xw_re, xw_im, h_re, h_im, theta, m_ramp, phi0, prev_re,
         last_im_ref[:] = ri[-1:, :]
         ftail_out_ref[:] = scr_f[0:ka - 1, :]
 
+    if fuse_psd:
+        # Bailey four-step PSD folded into THIS grid, computed on
+        # channel tile 0 from the already-loaded window slab (rows ARE
+        # consecutive samples — taps == decimation).  Two frame chunks
+        # ride SIDE BY SIDE in the 128 lanes (B=64 alone left half the
+        # datapath idle — measured r5); db/tw are pre-doubled
+        # block-diagonally, `fold` sums the halves.  (Distributing the
+        # PSD across channel tiles via per-program slab remaps was
+        # ALSO measured — 10% slower than this form.)
+        ci = pl.program_id(0)
+
+        @pl.when((ci == 0) & (mi == 0))
+        def _():
+            psd_ref[:] = jnp.zeros_like(psd_ref)
+
+        @pl.when(ci == 0)
+        def _():
+            acc = None
+            rows = psd_fb * 64
+            for c0 in range(mt // (2 * rows)):
+                s0 = slice((2 * c0) * rows, (2 * c0 + 1) * rows)
+                s1 = slice((2 * c0 + 1) * rows, (2 * c0 + 2) * rows)
+                cr = jnp.concatenate(
+                    [xr[s0, :] * w2d[:], xr[s1, :] * w2d[:]], axis=1)
+                cx = jnp.concatenate(
+                    [xi[s0, :] * w2d[:], xi[s1, :] * w2d[:]], axis=1)
+                s1r = jnp.dot(bd_re[:], cr,
+                              preferred_element_type=jnp.float32) \
+                    - jnp.dot(bd_im[:], cx,
+                              preferred_element_type=jnp.float32)
+                s1i = jnp.dot(bd_re[:], cx,
+                              preferred_element_type=jnp.float32) \
+                    + jnp.dot(bd_im[:], cr,
+                              preferred_element_type=jnp.float32)
+                s2r = s1r * tw_re[:] - s1i * tw_im[:]
+                s2i = s1r * tw_im[:] + s1i * tw_re[:]
+                s3r = jnp.dot(s2r, db_re[:],
+                              preferred_element_type=jnp.float32) \
+                    - jnp.dot(s2i, db_im[:],
+                              preferred_element_type=jnp.float32)
+                s3i = jnp.dot(s2r, db_im[:],
+                              preferred_element_type=jnp.float32) \
+                    + jnp.dot(s2i, db_re[:],
+                              preferred_element_type=jnp.float32)
+                p = s3r * s3r + s3i * s3i
+                a_ = jnp.dot(fsum[:], p,
+                             preferred_element_type=jnp.float32)
+                acc = a_ if acc is None else acc + a_
+            acc = jnp.dot(acc, fold[:],
+                          preferred_element_type=jnp.float32)
+            psd_ref[:] += acc * jnp.float32(psd_scale)
+
 
 class MatChannelizer2:
     """Large-block streaming FM receiver on the 2-D-tiled fused kernel.
@@ -249,6 +327,9 @@ class MatChannelizer2:
         # product removes it).  Needs the snapped grid — tables are
         # then block-invariant device constants.
         self._table_rot = bool(snap_grid) and cfg.m_tile % 64 == 0
+        self._psd_scale = 1.0
+        if cfg.fuse_psd:
+            self._psd_dev_consts = self._psd_constants()
         self._call = self._build()
         if self._table_rot:
             q_tab, r_tab = self._rot_tables()
@@ -260,6 +341,53 @@ class MatChannelizer2:
             # mod 2π, so the phase-tile pattern is one device constant
             self._phi0_dev = (jnp.asarray(self._phi_tiles())
                               if snap_grid else None)
+
+    def _psd_constants(self):
+        """Constants of the fused four-step PSD (A=B=64, fb=8 — the
+        PallasPSDFromXW math riding this kernel's grid)."""
+        from sigdigger_tpu.dsp.window import window_taps
+        from sigdigger_tpu.kernels.fft import _dft_matrix
+        from sigdigger_tpu.types import WindowFunction
+
+        cfg = self.cfg
+        a = b = 64
+        fb = cfg.psd_fb
+        taps = np.asarray(window_taps(
+            WindowFunction.BLACKMANN_HARRIS, cfg.psd_fft), np.float64)
+        da_re, da_im = _dft_matrix(a)
+        bd_re = np.zeros((fb * a, fb * a), np.float32)
+        bd_im = np.zeros((fb * a, fb * a), np.float32)
+        for fi in range(fb):
+            bd_re[fi * a:(fi + 1) * a, fi * a:(fi + 1) * a] = da_re
+            bd_im[fi * a:(fi + 1) * a, fi * a:(fi + 1) * a] = da_im
+        db_re, db_im = _dft_matrix(b)
+        k1 = np.arange(a)[:, None]
+        bb = np.arange(b)[None, :]
+        ang = -2.0 * np.pi * k1 * bb / cfg.psd_fft
+        # two chunks side by side in the lanes: twiddles tile 2x on
+        # lanes, DFT_B doubles block-diagonally, `fold` sums halves
+        tw1_re = np.tile(np.cos(ang).astype(np.float32), (fb, 1))
+        tw1_im = np.tile(np.sin(ang).astype(np.float32), (fb, 1))
+        tw_re = np.tile(tw1_re, (1, 2))
+        tw_im = np.tile(tw1_im, (1, 2))
+        db2_re = np.zeros((2 * b, 2 * b), np.float32)
+        db2_im = np.zeros((2 * b, 2 * b), np.float32)
+        for half in range(2):
+            db2_re[half * b:(half + 1) * b,
+                   half * b:(half + 1) * b] = db_re
+            db2_im[half * b:(half + 1) * b,
+                   half * b:(half + 1) * b] = db_im
+        fsum = np.zeros((a, fb * a), np.float32)
+        for fi in range(fb):
+            fsum[np.arange(a), fi * a + np.arange(a)] = 1.0
+        fold = np.concatenate([np.eye(b, dtype=np.float32)] * 2)
+        w2d = np.tile(taps.astype(np.float32).reshape(a, b), (fb, 1))
+        frames = cfg.block_in // cfg.psd_fft
+        self._psd_scale = 1.0 / (cfg.sample_rate
+                                 * float(np.sum(taps ** 2)) * frames)
+        return tuple(jnp.asarray(v) for v in (
+            w2d, bd_re, bd_im, tw_re, tw_im, db2_re, db2_im, fsum,
+            fold))
 
     def _rot_tables(self) -> tuple[np.ndarray, np.ndarray]:
         """Rotator factor tables, f64-built: Q rows e^{-j(φ0+64gθ)}
@@ -332,7 +460,33 @@ class MatChannelizer2:
                               cfg.fir_tile + ka - 1),
                              lambda ci, mi: (0, 0),
                              memory_space=pltpu.VMEM),      # bt
-            ],
+            ]
+            + ([                                 # fused-PSD constants
+                pl.BlockSpec((cfg.psd_fb * 64, 64),
+                             lambda ci, mi: (0, 0),
+                             memory_space=pltpu.VMEM),      # w2d
+                pl.BlockSpec((cfg.psd_fb * 64, cfg.psd_fb * 64),
+                             lambda ci, mi: (0, 0),
+                             memory_space=pltpu.VMEM),      # bd_re
+                pl.BlockSpec((cfg.psd_fb * 64, cfg.psd_fb * 64),
+                             lambda ci, mi: (0, 0),
+                             memory_space=pltpu.VMEM),      # bd_im
+                pl.BlockSpec((cfg.psd_fb * 64, 128),
+                             lambda ci, mi: (0, 0),
+                             memory_space=pltpu.VMEM),      # tw_re x2
+                pl.BlockSpec((cfg.psd_fb * 64, 128),
+                             lambda ci, mi: (0, 0),
+                             memory_space=pltpu.VMEM),      # tw_im x2
+                pl.BlockSpec((128, 128), lambda ci, mi: (0, 0),
+                             memory_space=pltpu.VMEM),      # db2_re
+                pl.BlockSpec((128, 128), lambda ci, mi: (0, 0),
+                             memory_space=pltpu.VMEM),      # db2_im
+                pl.BlockSpec((64, cfg.psd_fb * 64),
+                             lambda ci, mi: (0, 0),
+                             memory_space=pltpu.VMEM),      # fsum
+                pl.BlockSpec((128, 64), lambda ci, mi: (0, 0),
+                             memory_space=pltpu.VMEM),      # fold
+            ] if cfg.fuse_psd else []),
             out_specs=[
                 pl.BlockSpec((mt // da, ct), lambda ci, mi: (mi, ci),
                              memory_space=pltpu.VMEM),      # audio
@@ -342,7 +496,10 @@ class MatChannelizer2:
                              memory_space=pltpu.VMEM),      # last_im
                 pl.BlockSpec((ka - 1, ct), lambda ci, mi: (0, ci),
                              memory_space=pltpu.VMEM),      # ftail_out
-            ],
+            ]
+            + ([pl.BlockSpec((64, 64), lambda ci, mi: (0, 0),
+                             memory_space=pltpu.VMEM)]      # psd
+               if cfg.fuse_psd else []),
             scratch_shapes=[
                 pltpu.VMEM((2, ct), jnp.float32),            # prev rows
                 pltpu.VMEM((mt + ka - 1, ct), jnp.float32),  # f ext
@@ -356,14 +513,19 @@ class MatChannelizer2:
                     in_gain=(1.0 / cfg.i8_scale if cfg.in_i8
                              else 1.0 / cfg.i16_scale),
                     audio_bf16=cfg.audio_bf16,
-                    table_rot=self._table_rot),
+                    table_rot=self._table_rot,
+                    fuse_psd=cfg.fuse_psd,
+                    psd_scale=self._psd_scale,
+                    psd_fb=cfg.psd_fb),
             grid_spec=grid_spec,
             out_shape=[
                 jax.ShapeDtypeStruct((cfg.audio_out, c), audio_dtype),
                 jax.ShapeDtypeStruct((1, c), jnp.float32),
                 jax.ShapeDtypeStruct((1, c), jnp.float32),
                 jax.ShapeDtypeStruct((ka - 1, c), jnp.float32),
-            ],
+            ]
+            + ([jax.ShapeDtypeStruct((64, 64), jnp.float32)]
+               if cfg.fuse_psd else []),
             interpret=self.interpret,
         )
         return jax.jit(call)
@@ -387,12 +549,17 @@ class MatChannelizer2:
         xw = _jax.device_put(xw)
         phi0 = (self._phi0_dev if self.snap_grid
                 else self._phi_tiles())
-        audio, last_re, last_im, ftail = self._call(
-            xw, xw, self.consts["h_re"], self.consts["h_im"],
-            self.consts["theta"], self.consts["m_ramp"], phi0,
-            self._prev_re, self._prev_im,
-            self._ftail, self.consts["bt"],
-        )
+        args = [xw, xw, self.consts["h_re"], self.consts["h_im"],
+                self.consts["theta"], self.consts["m_ramp"], phi0,
+                self._prev_re, self._prev_im,
+                self._ftail, self.consts["bt"]]
+        if cfg.fuse_psd:
+            args += list(self._psd_dev_consts)
+        out = self._call(*args)
+        audio, last_re, last_im, ftail = out[:4]
+        # the fused PSD block ((k1,k2) digit order) — callers fetch it
+        # from `psd_block` when a spectrum message is due
+        self.psd_block = out[4] if cfg.fuse_psd else None
         # carries stay device-resident across blocks
         self._prev_re, self._prev_im = last_re, last_im
         self._ftail = ftail
@@ -439,12 +606,13 @@ class MatChannelizer2:
     def feed_device(self, xw_packed, phi0, prev_re, prev_im, ftail):
         if phi0 is None:
             phi0 = self._phi0_dev
-        return self._call(
-            xw_packed, xw_packed, self.consts["h_re"],
-            self.consts["h_im"], self.consts["theta"],
-            self.consts["m_ramp"], phi0,
-            prev_re, prev_im, ftail, self.consts["bt"],
-        )
+        args = [xw_packed, xw_packed, self.consts["h_re"],
+                self.consts["h_im"], self.consts["theta"],
+                self.consts["m_ramp"], phi0,
+                prev_re, prev_im, ftail, self.consts["bt"]]
+        if self.cfg.fuse_psd:
+            args += list(self._psd_dev_consts)
+        return self._call(*args)
 
 
 def _as_v1_cfg(cfg: MatChannelizer2Config):

@@ -140,3 +140,48 @@ def test_table_rotator_matches_trig_path():
              ).astype(np.complex64)
         np.testing.assert_allclose(a.feed(x), b.feed(x),
                                    rtol=2e-3, atol=2e-4)
+
+
+def test_fused_psd_matches_standalone():
+    """fuse_psd=True folds the Bailey four-step PSD into the
+    channelizer's grid (one dispatch serves both); the PSD block
+    matches the standalone PallasPSDFromXW on the same window
+    buffer."""
+    import numpy as np
+
+    from sigdigger_tpu.kernels.channelizer2 import (
+        MatChannelizer2,
+        MatChannelizer2Config,
+    )
+    from sigdigger_tpu.kernels.fft import (
+        PallasPSDConfig,
+        PallasPSDFromXW,
+    )
+
+    fs = 4_096_000.0
+    cfg = MatChannelizer2Config(
+        sample_rate=fs, n_channels=8, taps=64, decimation=64,
+        audio_taps=32, audio_decim=4, block_out=1024, m_tile=1024,
+        channel_tile=8, fuse_psd=True)
+    mc = MatChannelizer2(cfg, np.linspace(-1e6, 1e6, 8), bw=30e3,
+                         interpret=True, snap_grid=True)
+    psd_cfg = PallasPSDConfig(
+        fft_size=4096, frames_per_block=cfg.block_in // 4096,
+        frames_per_program=8)
+    ref = PallasPSDFromXW(psd_cfg, m_rows=cfg.block_out,
+                          sample_rate=fs, interpret=True)
+    rng = np.random.default_rng(11)
+    t = np.arange(cfg.block_in) / fs
+    x = (0.7 * np.exp(2j * np.pi * 500e3 * t)
+         + 0.05 * (rng.standard_normal(cfg.block_in)
+                   + 1j * rng.standard_normal(cfg.block_in))
+         ).astype(np.complex64)
+    xw = mc._frame(x)
+    audio = np.asarray(mc.feed_packed(xw))
+    assert np.all(np.isfinite(audio))
+    fused = ref.unpermute(np.asarray(mc.psd_block))
+    want = ref.feed(xw)
+    np.testing.assert_allclose(fused, want, rtol=2e-4, atol=1e-12)
+    # and the peak lands on the injected tone
+    freqs = np.fft.fftfreq(4096, 1.0 / fs)
+    assert abs(freqs[int(np.argmax(fused))] - 500e3) < 2 * fs / 4096
