@@ -156,8 +156,9 @@ def bench_end_to_end(iters: int = 24) -> tuple[float, dict]:
         xw_dev = jax.device_put(xw)
         jax.block_until_ready(xw_dev)
         t2 = time.perf_counter()
-        psd_h = rx._psd.feed_async(xw_dev)
         audio = rx._chan.feed_packed(xw_dev)
+        psd_h = (rx._chan.psd_block if rx._chan.cfg.fuse_psd
+                 else rx._psd.feed_async(xw_dev))
         jax.block_until_ready((psd_h, audio))
         t3 = time.perf_counter()
         a = np.asarray(audio)

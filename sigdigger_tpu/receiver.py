@@ -86,14 +86,21 @@ class KernelReceiver:
             channel_tile=tile,
         )
         if mode == "fm":
-            # v2 kernel: whole block in one dispatch (time-tiled grid)
+            # v2 kernel: whole block in one dispatch (time-tiled grid).
+            # With the Bailey-compatible geometry the four-step PSD is
+            # FUSED into the same dispatch (r5: a standalone PSD
+            # dispatch costs ~0.9 ms of floor on remote-attached
+            # chips) — one kernel launch serves demod AND spectrum.
             m_tile = min(2048, block_out)
+            fuse = (snap_grid and psd_fft == 4096
+                    and decimation == 64 and m_tile % 256 == 0)
             v2 = MatChannelizer2Config(
                 sample_rate=float(sample_rate), n_channels=n_channels,
                 taps=64, decimation=decimation, audio_taps=64,
                 audio_decim=audio_decim, block_out=block_out,
                 m_tile=m_tile, channel_tile=tile, in_i16=in_i16,
                 in_i8=in_i8, audio_bf16=audio_bf16,
+                fuse_psd=fuse, psd_fft=psd_fft,
             )
             self._chan = MatChannelizer2(v2, f0s, bw,
                                          interpret=interpret,
@@ -177,6 +184,11 @@ class KernelReceiver:
             import jax
 
             xw = jax.device_put(self._chan._frame(x))
+            if self._chan.cfg.fuse_psd:
+                # ONE upload, ONE dispatch: the PSD block comes out of
+                # the channelizer's own grid
+                audio = self._chan.feed_packed(xw)
+                return (self._chan.psd_block, audio, None)
             return (self._psd.feed_async(xw),   # ONE upload, two kernels
                     self._chan.feed_packed(xw), None)
         psd_h = self._psd.feed_async(x)

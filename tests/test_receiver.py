@@ -166,3 +166,30 @@ def test_receiver_fm_int8_upload():
     psd = np.fft.fftshift(blocks[-1].psd)
     freqs = np.linspace(-fs / 2, fs / 2, len(psd), endpoint=False)
     assert abs(freqs[np.argmax(psd)] - 300e3) < 9e3
+
+
+def test_receiver_fused_psd_path():
+    """The Bailey-compatible serving geometry fuses the PSD into the
+    channelizer dispatch (r5); the receiver's PSD and audio both come
+    out of the one kernel and match expectations."""
+    fs = 2_048_000.0
+    rx = KernelReceiver(
+        sample_rate=fs, f0s=np.array([-500e3, 250e3]), bw=30e3,
+        mode="fm", decimation=64, block_out=512, psd_fft=4096,
+        interpret=True, snap_grid=True)
+    assert rx._chan.cfg.fuse_psd
+    f0 = rx._chan.f0s[1]
+    n = rx.block_in * 4
+    t = np.arange(n) / fs
+    x = np.exp(1j * (2 * np.pi * f0 * t
+                     + 2 * np.pi * 2e3 * np.cumsum(
+                         np.sin(2 * np.pi * 300.0 * t)) / fs)
+               ).astype(np.complex64)
+    blk = None
+    for i in range(0, n, rx.block_in):
+        blk = rx.feed(x[i:i + rx.block_in])
+    assert blk.audio.shape[1] == 2
+    assert np.all(np.isfinite(blk.audio))
+    freqs = np.fft.fftshift(np.fft.fftfreq(4096, 1.0 / fs))
+    pk = freqs[int(np.argmax(np.fft.fftshift(blk.psd)))]
+    assert abs(pk - f0) < 5e3, (pk, f0)
