@@ -425,3 +425,61 @@ def test_drain_thread_survives_control_churn():
     n_samples += sum(m.kind == MessageKind.SAMPLES for m in an.poll())
     assert not errors, errors
     assert n_samples >= 8          # the original inspector kept flowing
+
+
+def test_kernel_checkpoint_multi_bucket_with_squeeze(tmp_path):
+    """Checkpoint/resume across MULTIPLE decimation buckets with the
+    symbol squeeze active: slots land back in their original buckets
+    and columns, and the streams resume bit-exact."""
+    from sigdigger_tpu.analyzer.checkpoint import (
+        load_checkpoint,
+        save_checkpoint,
+    )
+
+    prof0 = SourceProfile(type="synth", sample_rate=FS, freq=0.0)
+    gen = SynthBandSource(prof0, [
+        Emitter(freq=-60e3, amplitude=1.0, fm_rate=300.0, fm_dev=2e3),
+        Emitter(freq=40e3, amplitude=1.0, kind="psk", baud=2000.0,
+                order=4, seed=5)], seed=1)
+    cap = tmp_path / "cap.cf32"
+    np.asarray(gen.read(BLOCK * 8)).tofile(cap)
+
+    def build():
+        prof = SourceProfile(type="file", path=str(cap),
+                             sample_rate=FS)
+        params = AnalyzerParams()
+        params.window_size = 4096
+        return KernelAnalyzer(profile=prof, params=params,
+                              block_size=BLOCK, decimation=16,
+                              decimations=(16, 32), n_slots=32,
+                              compact_cols=32, symbol_group=2)
+
+    a = build()
+    # wide audio -> fast bucket; narrow psk -> slow bucket
+    h_aud = a.open_inspector(
+        "audio", Channel(fc=-60e3, bw=12e3),
+        config={"audio.demodulator": 2, "audio.volume": 1.0,
+                "audio.sample-rate": a.audio_rate})
+    h_psk = a.open_inspector(
+        "psk", Channel(fc=40e3, bw=3e3),
+        config={"afc.bits-per-symbol": 2, "clock.baud": 2000.0})
+    assert a._kslots[h_aud].bucket.decimation != \
+        a._kslots[h_psk].bucket.decimation
+    a.poll()
+    for _ in range(3):
+        assert a.step()
+    a.poll()
+    ck = str(tmp_path / "mb.sdckpt")
+    save_checkpoint(a, ck)
+    sa, ea = samples_by_handle(a, 3)
+
+    b = load_checkpoint(ck)
+    assert len(b._inspectors) == 2
+    sb, eb = samples_by_handle(b, 3)
+    by_id = {b._inspectors[h].inspector_id: h for h in sb}
+    for h1 in (h_aud, h_psk):
+        h2 = by_id[a._inspectors[h1].inspector_id]
+        for blk in range(3):
+            np.testing.assert_array_equal(
+                np.atleast_1d(sa[h1][blk]),
+                np.atleast_1d(sb[h2][blk]))
