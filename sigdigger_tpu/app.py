@@ -301,44 +301,53 @@ class LiveSession:
             fd = sys.stdin.fileno()
             old = termios.tcgetattr(fd)
             _tty.setcbreak(fd)
-            key_insp: list[int] = []
-            squelch = [False]
             try:
                 while not self._stop.is_set():
                     ch = sys.stdin.read(1)
-                    an = self.analyzer
-                    if an is None:
-                        break
-                    fs = an.sample_rate
-                    if ch == "[":
-                        an.set_frequency(an.profile.freq - fs / 10)
-                    elif ch == "]":
-                        an.set_frequency(an.profile.freq + fs / 10)
-                    elif ch == "a" and not key_insp:
-                        from sigdigger_tpu.types import Channel
-
-                        key_insp.append(an.open_inspector(
-                            "audio",
-                            Channel(fc=an.profile.freq, bw=12e3),
-                            config={"audio.demodulator": 2,
-                                    "audio.volume": 1.0}))
-                    elif ch == "c" and key_insp:
-                        an.close_inspector(key_insp.pop())
-                    elif ch == "s" and key_insp:
-                        squelch[0] = not squelch[0]
-                        an.set_inspector_config(
-                            key_insp[-1],
-                            {"audio.squelch": squelch[0]})
-                    elif ch == "q":
-                        self.eos.set()
+                    if not self.handle_key(ch):
                         break
             except Exception:  # noqa: BLE001 — keys must never crash
                 pass
             finally:
                 termios.tcsetattr(fd, termios.TCSADRAIN, old)
 
+        self._key_insp: list[int] = []
+        self._key_squelch = False
         threading.Thread(target=loop, daemon=True,
                          name="live-keys").start()
+
+    def handle_key(self, ch: str) -> bool:
+        """One keybinding action (see :meth:`_start_keys`); returns
+        False when the session should stop listening."""
+        an = self.analyzer
+        if an is None:
+            return False
+        if not hasattr(self, "_key_insp"):
+            self._key_insp = []
+            self._key_squelch = False
+        fs = an.sample_rate
+        if ch == "[":
+            an.set_frequency(an.profile.freq - fs / 10)
+        elif ch == "]":
+            an.set_frequency(an.profile.freq + fs / 10)
+        elif ch == "a" and not self._key_insp:
+            from sigdigger_tpu.types import Channel
+
+            self._key_insp.append(an.open_inspector(
+                "audio", Channel(fc=an.profile.freq, bw=12e3),
+                config={"audio.demodulator": 2,
+                        "audio.volume": 1.0}))
+        elif ch == "c" and self._key_insp:
+            an.close_inspector(self._key_insp.pop())
+        elif ch == "s" and self._key_insp:
+            self._key_squelch = not self._key_squelch
+            an.set_inspector_config(
+                self._key_insp[-1],
+                {"audio.squelch": self._key_squelch})
+        elif ch == "q":
+            self.eos.set()
+            return False
+        return True
 
     def _start_control(self) -> None:
         from sigdigger_tpu.io.remote import RemoteControlServer

@@ -318,3 +318,40 @@ def test_live_session_web_control():
             assert e.code == 400
     finally:
         sess.halt()
+
+
+def test_live_session_tty_keybindings():
+    """The ANSI-terminal keybindings drive the engine: [ ] retune,
+    a/c open/close the audio inspector, s toggles its squelch, q
+    halts (headless MainSpectrum interactions — handle_key is the
+    handler the raw-tty reader thread feeds)."""
+    from sigdigger_tpu.app import LiveSession
+    from sigdigger_tpu.profiles import SourceProfile
+
+    prof = SourceProfile(type="tonegen", sample_rate=262_144,
+                         tone_freq=50_000.0)
+    sess = LiveSession(profile=prof, engine="generic")
+    sess.start()
+    try:
+        an = sess.analyzer
+        f0 = an.profile.freq
+        assert sess.handle_key("]")
+        assert an.profile.freq == f0 + an.sample_rate / 10
+        assert sess.handle_key("[")
+        assert an.profile.freq == f0
+        assert sess.handle_key("a")
+        assert len(an._inspectors) == 1
+        h = next(iter(an._inspectors))
+        assert sess.handle_key("s")
+        # squelch applied on the open inspector
+        assert an._inspectors[h].inspector.config["audio.squelch"] \
+            is True
+        assert sess.handle_key("s")
+        assert an._inspectors[h].inspector.config["audio.squelch"] \
+            is False
+        assert sess.handle_key("c")
+        assert len(an._inspectors) == 0
+        assert not sess.handle_key("q")
+        assert sess.eos.is_set()
+    finally:
+        sess.halt()
