@@ -380,9 +380,18 @@ class KernelAnalyzer(Analyzer):
                 decimation=d, block_out=block_out, m_tile=m_tile,
                 channel_tile=tile, in_scale=in_scale,
             ), interpret=self._interpret)
+            # recovery tile policy (r5): the per-sample loops are
+            # LATENCY-bound, so run the widest slot tile per grid
+            # program (ct×mt VMEM held at the proven 128×1024
+            # product) — measured 16.5 → 5.3 ms at 1024 slots
+            rec_ct = min(self._n_slots, 1024)
+            while self._n_slots % rec_ct:
+                rec_ct -= 1
+            rec_mt = _largest_divisor(
+                block_out, max(128, (128 * 1024) // rec_ct))
             rec = RecoveryBank(RecoveryBankConfig(
                 n_channels=self._n_slots, block_len=block_out,
-                channel_tile=tile,
+                channel_tile=rec_ct, m_tile=rec_mt,
             ), interpret=self._interpret)
             t_raw = t_audio = t_rec = None
             if self._tmesh:

@@ -117,9 +117,20 @@ class KernelReceiver:
                 taps=64, decimation=decimation, block_out=block_out,
                 m_tile=min(2048, block_out), channel_tile=tile,
             ), interpret=interpret)
+            # widest slot tile per program — the recovery loops are
+            # latency-bound (r5: 3.1× at 1024 channels); ct×mt VMEM
+            # held at the proven 128×1024 product
+            rec_ct = min(n_channels, 1024)
+            while n_channels % rec_ct:
+                rec_ct -= 1
+            rec_mt = block_out
+            budget = max(128, (128 * 1024) // rec_ct)
+            rec_mt = min(rec_mt, budget)
+            while block_out % rec_mt:
+                rec_mt -= 1
             self._rec = RecoveryBank(RecoveryBankConfig(
                 n_channels=n_channels, block_len=block_out,
-                channel_tile=tile,
+                channel_tile=rec_ct, m_tile=rec_mt,
             ), interpret=interpret)
             kind = {"psk": KIND_PSK, "fsk": KIND_FSK,
                     "ask": KIND_ASK}[mode]
