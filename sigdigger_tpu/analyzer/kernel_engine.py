@@ -364,11 +364,16 @@ class KernelAnalyzer(Analyzer):
                     f"derived m_tile {m_tile} not a multiple of audio "
                     f"decimation {self._audio_decim}")
             in_scale = 64.0 if self._in_i8 else 4096.0
+            # fir_tile 1024 measured ~13% faster than the 256 default
+            # on-chip at this geometry (larger banded-FIR matmul rows
+            # beat the executed-flop saving of small chunks)
+            ft = (1024 if m_tile % 1024 == 0
+                  and 1024 % self._audio_decim == 0 else 0)
             audio = AudioBank(AudioBankConfig(
                 sample_rate=rate, n_channels=self._n_slots,
                 decimation=d, audio_decim=self._audio_decim,
                 block_out=block_out, m_tile=m_tile, channel_tile=tile,
-                enable_ssb=True, in_scale=in_scale,
+                enable_ssb=True, in_scale=in_scale, fir_tile=ft,
                 # the su_agc hang follower runs in-kernel on single-
                 # device sessions (reference Tasks/AGCTask.cpp:41-53);
                 # meshed sessions keep the block power-EMA AGC (the
