@@ -94,12 +94,6 @@ def _decide_interval(v: np.ndarray, lo: float, hi: float,
     return np.clip(idx, 0, levels - 1).astype(np.uint8)
 
 
-def _decide_frequency(v: np.ndarray, bits: int) -> np.ndarray:
-    span = max(float(np.max(np.abs(v))) if v.size else 0.0, 1e-12)
-    return _decide_interval(v, -span * (1 + 1e-6), span * (1 + 1e-6),
-                            bits)
-
-
 def _decide_amplitude(v: np.ndarray, bits: int,
                       vmax: float | None = None) -> np.ndarray:
     if vmax is None:
